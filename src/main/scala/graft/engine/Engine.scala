@@ -1,0 +1,242 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Catalog, TableSpec}
+import graft.flatten.Flattener
+import graft.lake.LakeTable
+import graft.schema.{Attr, Infer, Json}
+
+/** Per-apply metrics (the rebuild's applied-event accounting; per-bucket
+  * lineage lives in each LakeTable snapshot). */
+final case class ApplyStats(
+    batchEvents: Long,
+    dedupedDocs: Long,
+    deletes: Long,
+    skippedUnchanged: Long,
+    tables: Int,
+)
+
+/** The orchestration layer — doctosql's `load` / `incr` entry points
+  * (/root/reference/src/index.ts:14-72) rebuilt set-oriented:
+  *
+  *   infer (distributed fold + lattice merge) → registry widen →
+  *   catalog → create/evolve lake tables → flatten (explode chains) →
+  *   per-table bucket-pruned MERGE.
+  *
+  * Where the reference re-analyzes the batch on one Node thread and merges
+  * one row per SQL round-trip, every stage here is a Spark job: inference
+  * is a `mapPartitions` fold + `treeReduce` over the widening lattice
+  * (commutative/associative/idempotent, so partition order is immaterial),
+  * and each table's upsert is a single set-oriented merge.
+  */
+final class Engine(val spark: SparkSession, val lakeRoot: String,
+    val numBuckets: Int = 64) {
+
+  // ---------- schema registry (persisted widened tree per entity) ----------
+
+  private def registryDir(entity: String) =
+    Paths.get(lakeRoot, s"_registry_$entity")
+
+  def loadRegistry(entity: String): Option[Attr] = {
+    val d = registryDir(entity)
+    if (!Files.isDirectory(d)) None
+    else {
+      val latest = Files.list(d).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(_.stripPrefix("v").stripSuffix(".json").toInt)
+        .foldLeft(0)(math.max)
+      if (latest == 0) None
+      else Some(Infer.fromJson(Json.parse(
+        Files.readString(d.resolve(f"v$latest%05d.json")))))
+    }
+  }
+
+  private def saveRegistry(entity: String, tree: Attr): Unit = {
+    val d = registryDir(entity)
+    Files.createDirectories(d)
+    val latest = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toInt)
+      .foldLeft(0)(math.max)
+    val tmp = d.resolve(f".tmp-v${latest + 1}%05d.json")
+    Files.writeString(tmp, Json.render(Infer.toJson(tree)))
+    Files.move(tmp, d.resolve(f"v${latest + 1}%05d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Distributed schema inference: per-partition fold into an attribute
+    * tree, then a lattice-merge treeReduce. One pass over the batch; no
+    * documents are collected to the driver. */
+  def inferBatch(entity: String, docs: DataFrame, docCol: String): Attr = {
+    import spark.implicits._
+    val strings = docs.select(col(docCol).cast("string")).as[String]
+    strings.rdd
+      .mapPartitions { it =>
+        Iterator.single(Infer.analyzeDocuments(entity,
+          it.flatMap(s => Json.parseOpt(s))))
+      }
+      .treeReduce(Infer.mergeInto)
+  }
+
+  def table(t: TableSpec): LakeTable =
+    new LakeTable(spark, lakeRoot, t.fullName, numBuckets)
+
+  /** Root-key column name inside a table frame: the outermost FK for child
+    * tables, ID for the root. */
+  private def rootKeyOf(t: TableSpec): String =
+    if (t.isRoot) t.tablePk else t.fkColumns.last.sqlName
+
+  // ---------- load (full upsert, index.ts:14-41) ----------
+
+  /** Full upsert of a doc batch. `docs` must carry a JSON-string column
+    * `docCol`; optional `seqCol` (event sequence) breaks ties when a key
+    * appears more than once in the batch — last write wins, replacing the
+    * reference's serial in-order merges (sqlDML.ts:580-605). */
+  def load(entity: String, docs: DataFrame, docCol: String,
+      commitTag: String, seqCol: Option[String] = None,
+      deleteIds: Option[DataFrame] = None,
+      incremental: Boolean = false): ApplyStats = {
+
+    val idExpr: Column = coalesce(
+      get_json_object(col(docCol), "$._id"),
+      get_json_object(col(docCol), "$.id"))
+    val revExpr: Column = coalesce(
+      get_json_object(col(docCol), "$._rev"),
+      get_json_object(col(docCol), "$.rev"))
+
+    val seqed = seqCol match {
+      case Some(c) => docs.withColumn("_seq", col(c).cast("long"))
+      case None    => docs.withColumn("_seq", monotonically_increasing_id())
+    }
+    val batchEvents = seqed.count()
+
+    // per-key dedup: last write wins by event sequence (window row_number
+    // over the sequence — BASELINE.json north-star requirement)
+    val w = Window.partitionBy(idExpr).orderBy(col("_seq").desc)
+    var deduped = seqed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("_docid", idExpr)
+      .withColumn("_docrev", revExpr)
+      .persist()
+
+    try {
+      var skipped = 0L
+      val prior = loadRegistry(entity)
+
+      // incr (index.ts:43-72): skip docs whose (ID, REV) is already in the
+      // root table — anti-join replaces the driver-side revision Map
+      // (sqlDML.ts:27-93); the join broadcasts under AQE when small
+      if (incremental) {
+        prior.foreach { tree =>
+          val tables = Catalog.fromTree(tree)
+          val rootT = tables.find(_.isRoot).get
+          val lake = table(rootT)
+          if (lake.exists() && lake.snapshot().segments.nonEmpty &&
+            lake.snapshot().schema.fieldNames.contains("REV")) {
+            val existing = lake.read().select(
+              col("ID").as("_docid"), col("REV").as("_docrev"))
+            val before = deduped.count()
+            val next = deduped
+              .join(existing, Seq("_docid", "_docrev"), "left_anti").persist()
+            skipped = before - next.count()
+            deduped.unpersist()
+            deduped = next
+          }
+        }
+      }
+
+      val dedupedDocs = deduped.count()
+      if (dedupedDocs == 0 && deleteIds.isEmpty)
+        return ApplyStats(batchEvents, 0, 0, skipped, 0)
+
+      // 1-2: inference + registry widen (docMetadata/sqlMetadata stages)
+      val batchTree = inferBatch(entity, deduped, docCol)
+      val registry = prior match {
+        case Some(t) => Infer.mergeInto(t, batchTree)
+        case None    => batchTree
+      }
+      saveRegistry(entity, registry)
+
+      // 3-4: DDL — create or evolve each lake table (sqlDDL createTables /
+      // alterTables; additive + widening only)
+      val tables = Catalog.fromTree(registry)
+      tables.foreach { t =>
+        val lake = table(t)
+        if (!lake.exists()) lake.create(t.schema) else lake.evolve(t.schema)
+      }
+
+      // 5: flatten + set-oriented merge per table, root first
+      val rootElem = registry.attributes(registry.name)
+      val schema = Flattener.readSchema(rootElem)
+      val parsed = deduped.withColumn("_gdoc", from_json(col(docCol), schema))
+      val nDel = deleteIds.map(_.count()).getOrElse(0L)
+
+      tables.foreach { t =>
+        val frame = Flattener.tableFrame(parsed, rootElem, tables, t,
+          col("_gdoc"))
+        table(t).merge(frame, t.keyColumns, rootKeyOf(t), commitTag,
+          deleteRootKeys = deleteIds)
+      }
+
+      ApplyStats(batchEvents, dedupedDocs, nDel, skipped, tables.size)
+    } finally deduped.unpersist()
+  }
+
+  /** incr (index.ts:43-72): like load, but unchanged (ID, REV) docs are
+    * skipped before any flatten work. */
+  def incr(entity: String, docs: DataFrame, docCol: String,
+      commitTag: String, seqCol: Option[String] = None): ApplyStats =
+    load(entity, docs, docCol, commitTag, seqCol, incremental = true)
+
+  // ---------- CDC apply (change-event envelope) ----------
+
+  /** Apply one micro-batch of change events
+    * `(lsn: long, op: insert|update|delete, doc: json-string)`:
+    * per-key last-write-wins dedup by `lsn`, delete cascade by root key,
+    * idempotent commit under `commitTag`. Returns applied stats. */
+  def applyEvents(entity: String, events: DataFrame, commitTag: String,
+      incremental: Boolean = false): ApplyStats = {
+    val idExpr = coalesce(
+      get_json_object(col("doc"), "$._id"),
+      get_json_object(col("doc"), "$.id"))
+    val w = Window.partitionBy(idExpr).orderBy(col("lsn").desc)
+    val latest = events
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .persist()
+    try {
+      val upserts = latest.filter(col("op") =!= "delete")
+      val deletes = latest.filter(col("op") === "delete")
+        .select(idExpr.as("_delid"))
+      val nDeletes = deletes.count()
+      val delOpt = if (nDeletes > 0) Some(deletes) else None
+      val stats = load(entity, upserts, "doc", commitTag, seqCol = Some("lsn"),
+        deleteIds = delOpt, incremental = incremental)
+      stats.copy(deletes = nDeletes,
+        batchEvents = events.count())
+    } finally latest.unpersist()
+  }
+
+  /** Structured-Streaming entry: change-event tail → lake tables.
+    * Exactly-once: Spark checkpointing replays unacknowledged batches and
+    * the lake's commit tags make re-application a no-op. */
+  def stream(entity: String, events: DataFrame, checkpoint: String,
+      queryName: String = "graft-cdc"): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyEvents(entity, batch, commitTag = s"$queryName:$batchId")
+        ()
+      }
+      .start()
+}
