@@ -181,8 +181,16 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       val nDel = deleteIds.map(_.count()).getOrElse(0L)
 
       tables.foreach { t =>
-        val frame = Flattener.tableFrame(parsed, rootElem, tables, t,
-          col("_gdoc"))
+        val raw = Flattener.tableFrame(parsed, rootElem, tables, t,
+          col("_gdoc"), withOrd = true)
+        // within-doc duplicate keys: keep the last occurrence (the
+        // reference's serial MERGE overwrite order, sqlDML.ts:519-545)
+        val frame = raw
+          .withColumn("_krn", row_number().over(Window
+            .partitionBy(t.keyColumns.map(col): _*)
+            .orderBy(col("_gord").desc)))
+          .filter(col("_krn") === 1)
+          .drop("_krn", "_gord")
         table(t).merge(frame, t.keyColumns, rootKeyOf(t), commitTag,
           deleteRootKeys = deleteIds)
       }

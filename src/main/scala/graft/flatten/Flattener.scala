@@ -108,6 +108,7 @@ object Flattener {
       t: TableSpec,
       docCol: Column,
       extraCols: Seq[String] = Nil,
+      withOrd: Boolean = false,
   ): DataFrame = {
     val byName = tables.map(x => x.attrName -> x).toMap
 
@@ -185,7 +186,18 @@ object Flattener {
         coerce(c, raw).as(c.sqlName)
       }
 
-    val outCols = (fkPairs :+ pkCol) ++ dataCols ++ extraCols.map(col)
+    // duplicate keys inside one document (e.g. two array elements sharing
+    // an id): the reference's serial MERGE makes the LAST address win
+    // (sqlDML.ts:519-545) — expose the explode-position vector so the
+    // caller can keep the lexicographically-last occurrence
+    val ordCols =
+      if (!withOrd) Nil
+      else {
+        val poses = (0 until depth).map(d => col(s"_pos$d"))
+        Seq((if (poses.isEmpty) lit(0) else struct(poses: _*)).as("_gord"))
+      }
+
+    val outCols = (fkPairs :+ pkCol) ++ dataCols ++ extraCols.map(col) ++ ordCols
     // a row exists only where the object instance exists (sqlDML.ts:528-531)
     df.filter(nodeCol.isNotNull).select(outCols: _*)
   }

@@ -266,12 +266,15 @@ final class LakeTable(val spark: SparkSession, val root: String,
         .parquet(dir.resolve(commitRel).toString)
 
       // discover written buckets + row counts in one scan of the commit dir
-      // (partition discovery recovers the bucket column)
+      // (partition discovery recovers the bucket column); an all-deleted
+      // bucket set can legitimately write zero files
+      val bucketDirs = listBucketDirs(dir.resolve(commitRel))
       val counts: Map[Int, Long] =
-        spark.read.parquet(dir.resolve(commitRel).toString)
+        if (bucketDirs.isEmpty) Map.empty
+        else spark.read.parquet(dir.resolve(commitRel).toString)
           .groupBy(col(BucketCol)).count().collect()
           .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
-      val newSegs = listBucketDirs(dir.resolve(commitRel)).map { case (b, p) =>
+      val newSegs = bucketDirs.map { case (b, p) =>
         Segment(dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
           counts.getOrElse(b, 0L))
       }

@@ -1,0 +1,208 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.cdc.EventGen
+import graft.engine.Engine
+import graft.schema.{JObj, JStr, Json}
+
+/** End-to-end golden suite — the Spark port of the reference's
+  * sqlDML.test.ts:562-921 (load → read back → field-by-field compare,
+  * then evolution, then re-merge) plus the CDC replay / exactly-once /
+  * delete-cascade semantics of BASELINE.json. */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def newEngine(): (Engine, String) = {
+    val root = SparkTestSession.tmpDir("graft-lake-")
+    (new Engine(spark, root, numBuckets = 8), root)
+  }
+
+  private def sha256(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def tablesOf(e: Engine, entity: String) =
+    Catalog.fromTree(e.loadRegistry(entity).get)
+
+  private def readTable(e: Engine, entity: String, attr: String) = {
+    val t = tablesOf(e, entity).find(_.attrName == attr).get
+    e.table(t).read()
+  }
+
+  // golden load of the canonical fixture (sqlDML.test.ts:562-727)
+  private def loadDoc1(): Engine = {
+    val (e, _) = newEngine()
+    e.load("testd2s", Seq(Fixtures.doc1).toDF("doc"), "doc", "t:1")
+    e
+  }
+
+  test("root row: values and coercions") {
+    val e = loadDoc1()
+    val r = readTable(e, "testd2s", "testd2s").collect().head
+    assert(r.getAs[String]("ID") == "doc-0001")
+    assert(r.getAs[String]("REV") == "0.rev-0001")
+    assert(r.getAs[Int]("A_BOOLEAN") == 1)
+    assert(r.getAs[String]("A_NUMBER") == "31.61705701614879") // lexical text
+    assert(r.getAs[java.sql.Timestamp]("A_DATE").toInstant.toString ==
+      "2020-06-23T12:00:00Z")
+    assert(r.getAs[String]("A_STRING") == "Thirty One Point Six One Seven ...")
+  }
+
+  test("lone object w/o id: AI=0, FK to root") {
+    val e = loadDoc1()
+    val r = readTable(e, "testd2s", "anObjectWithNoId").collect().head
+    assert(r.getAs[String]("TESTD2S_ID") == "doc-0001")
+    assert(r.getAs[Int]("AI") == 0)
+    assert(r.getAs[Int]("A_BOOLEAN") == 0)
+    assert(r.getAs[String]("A_NUMBER") == "2.0")
+  }
+
+  test("array w/o ids: AI = positions 0,1") {
+    val e = loadDoc1()
+    val rows = readTable(e, "testd2s", "anArrayWithNoIds")
+      .orderBy("AI").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Int]("AI")).toSeq == Seq(0, 1))
+    assert(rows.map(_.getAs[String]("A_NUMBER")).toSeq == Seq("4.0", "4.2"))
+    assert(rows.forall(_.getAs[String]("TESTD2S_ID") == "doc-0001"))
+  }
+
+  test("array w/ ids + 2-level nested object FK chain") {
+    val e = loadDoc1()
+    val arr = readTable(e, "testd2s", "anArrayWithIds").orderBy("ID").collect()
+    assert(arr.map(_.getAs[String]("ID")).toSeq == Seq("arr-01", "arr-02"))
+    val nested = readTable(e, "testd2s", "anObjectWithinAnObjectInAnArray")
+      .collect().head
+    assert(nested.getAs[String]("ID") == "arr-02-obj")
+    assert(nested.getAs[String]("AN_ARRAY_WITH_IDS_ID") == "arr-02")
+    assert(nested.getAs[String]("TESTD2S_ID") == "doc-0001")
+    assert(nested.getAs[String]("A_NUMBER") == "7.0")
+  }
+
+  test("evolution: doc2 adds column + widens + new table; doc1 untouched (sqlDML.test.ts:729-919)") {
+    val e = loadDoc1()
+    e.load("testd2s", Seq(Fixtures.doc2).toDF("doc"), "doc", "t:2")
+
+    val root = readTable(e, "testd2s", "testd2s").orderBy("ID").collect()
+    assert(root.length == 2)
+    val d1 = root(0); val d2 = root(1)
+    // doc1 row untouched, new column null for it
+    assert(d1.getAs[String]("ID") == "doc-0001")
+    assert(d1.getAs[Any]("A_NEW_DATE") == null)
+    assert(d1.getAs[String]("A_NUMBER") == "31.61705701614879")
+    // doc2 has the new column + long string
+    assert(d2.getAs[String]("ID") == "doc-0002")
+    assert(d2.getAs[java.sql.Timestamp]("A_NEW_DATE") != null)
+    assert(d2.getAs[String]("A_STRING").length > 80)
+    // new child table with composite FK (AN_OBJECT_WITH_NO_ID_AI, DOCS_ID)
+    val newT = readTable(e, "testd2s", "aNewObject").collect()
+    assert(newT.length == 1)
+    assert(newT.head.getAs[String]("ID") == "new-obj-01")
+    assert(newT.head.getAs[Int]("AN_OBJECT_WITH_NO_ID_AI") == 0)
+    assert(newT.head.getAs[String]("TESTD2S_ID") == "doc-0002")
+    // widened catalog persisted
+    val spec = tablesOf(e, "testd2s").find(_.isRoot).get
+    assert(spec.columns.find(_.sqlName == "A_STRING").get.sqlType == "VARCHAR(800)")
+  }
+
+  test("update in place: same id, new rev replaces values, no dup rows") {
+    val e = loadDoc1()
+    val updated = Fixtures.doc1
+      .replace("0.rev-0001", "1.rev-0002")
+      .replace("31.61705701614879", "99.5")
+    e.load("testd2s", Seq(updated).toDF("doc"), "doc", "t:2")
+    val root = readTable(e, "testd2s", "testd2s").collect()
+    assert(root.length == 1)
+    assert(root.head.getAs[String]("REV") == "1.rev-0002")
+    assert(root.head.getAs[String]("A_NUMBER") == "99.5")
+  }
+
+  test("incr: unchanged (ID,REV) docs are skipped (index.ts:43-72)") {
+    val e = loadDoc1()
+    val s1 = e.incr("testd2s", Seq(Fixtures.doc1).toDF("doc"), "doc", "t:2")
+    assert(s1.skippedUnchanged == 1 && s1.dedupedDocs == 0)
+    val changed = Fixtures.doc1.replace("0.rev-0001", "2.rev-0003")
+    val s2 = e.incr("testd2s", Seq(changed).toDF("doc"), "doc", "t:3")
+    assert(s2.skippedUnchanged == 0 && s2.dedupedDocs == 1)
+    assert(readTable(e, "testd2s", "testd2s").collect()
+      .head.getAs[String]("REV") == "2.rev-0003")
+  }
+
+  test("exactly-once: re-applying a committed batch tag is a no-op") {
+    val e = loadDoc1()
+    val v1 = e.table(tablesOf(e, "testd2s").find(_.isRoot).get)
+      .snapshot().version
+    val mutated = Fixtures.doc1.replace("31.61705701614879", "0.0")
+    e.load("testd2s", Seq(mutated).toDF("doc"), "doc", "t:1") // same tag!
+    val root = readTable(e, "testd2s", "testd2s").collect().head
+    assert(root.getAs[String]("A_NUMBER") == "31.61705701614879") // unchanged
+  }
+
+  test("delete cascades from root key to all child tables") {
+    val e = loadDoc1()
+    e.load("testd2s", Seq(Fixtures.doc2).toDF("doc"), "doc", "t:2")
+    val events = Seq(
+      (10L, "delete", """{"id":"doc-0001","rev":"9.x"}"""),
+    ).toDF("lsn", "op", "doc")
+    e.applyEvents("testd2s", events, "t:3")
+    assert(readTable(e, "testd2s", "testd2s").collect()
+      .map(_.getAs[String]("ID")).toSeq == Seq("doc-0002"))
+    // children of doc-0001 gone; doc-0002's survive
+    assert(readTable(e, "testd2s", "anArrayWithIds").collect()
+      .map(_.getAs[String]("TESTD2S_ID")).forall(_ == "doc-0002"))
+    assert(readTable(e, "testd2s", "anObjectWithinAnObjectInAnArray")
+      .count() == 0)
+  }
+
+  test("CDC replay: 2000 skewed events in 4 batches → exact final state (sha256 per row)") {
+    val (e, _) = newEngine()
+    val p = EventGen.Params(nEvents = 2000, nRepos = 20, pathsPerRepo = 10)
+    val all = EventGen.events(spark, p, partitions = 4).toDF()
+
+    val batches = 4
+    val per = p.nEvents / batches
+    (0 until batches).foreach { b =>
+      val batch = all.filter(col("lsn") >= b * per && col("lsn") < (b + 1) * per)
+      e.applyEvents("repos", batch, s"replay:$b")
+    }
+
+    val expected = EventGen.expectedFinalState(p)
+    val got = readTable(e, "repos", "repos")
+      .select("ID", "REV", "CONTENT").collect()
+      .map(r => r.getAs[String]("ID") ->
+        ((r.getAs[String]("REV"), sha256(r.getAs[String]("CONTENT"))))).toMap
+
+    assert(got.size == expected.size)
+    expected.foreach { case (id, ev) =>
+      val doc = Json.parse(ev.doc).asInstanceOf[JObj]
+      val expRev = doc.get("rev").collect { case JStr(s) => s }.get
+      val expSha = sha256(doc.get("content").collect { case JStr(s) => s }.get)
+      assert(got.contains(id), s"missing $id")
+      assert(got(id)._1 == expRev, s"rev mismatch for $id")
+      assert(got(id)._2 == expSha, s"content sha mismatch for $id")
+    }
+
+    // mid-stream evolution arrived: stats + topics tables exist and filled
+    val stats = readTable(e, "repos", "stats")
+    assert(stats.count() > 0)
+    val topics = readTable(e, "repos", "topics")
+    assert(topics.count() > 0)
+    assert(topics.columns.contains("REPOS_ID"))
+
+    // retry a middle batch (simulated foreachBatch replay) → no state change
+    val before = readTable(e, "repos", "repos").orderBy("ID")
+      .collect().map(_.toString).toSeq
+    val batch2 = all.filter(col("lsn") >= per && col("lsn") < 2 * per)
+    e.applyEvents("repos", batch2, "replay:1")
+    val after = readTable(e, "repos", "repos").orderBy("ID")
+      .collect().map(_.toString).toSeq
+    assert(before == after)
+  }
+}
