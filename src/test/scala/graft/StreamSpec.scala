@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.Catalog
+import graft.cdc.EventGen
+import graft.engine.Engine
+
+/** Structured-Streaming path: change-event tail → lake tables via
+  * foreachBatch, resumable from checkpoint (north rule: "resumable from
+  * Spark checkpoints with per-partition lineage + metrics"). Uses a
+  * durable file source so restart genuinely resumes from offsets. */
+class StreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming ingest resumes from checkpoint; final state = clean batch replay") {
+    import spark.implicits._
+
+    val lakeRoot = SparkTestSession.tmpDir("graft-stream-lake-")
+    val ckpt = SparkTestSession.tmpDir("graft-stream-ckpt-")
+    val srcDir = SparkTestSession.tmpDir("graft-stream-src-")
+    val engine = new Engine(spark, lakeRoot, numBuckets = 8)
+    val p = EventGen.Params(nEvents = 600, nRepos = 10, pathsPerRepo = 8)
+    val all = EventGen.events(spark, p, partitions = 2).toDF().cache()
+
+    def dump(lo: Long, hi: Long, name: String): Unit =
+      all.filter($"lsn" >= lo && $"lsn" < hi)
+        .coalesce(1).write.json(s"$srcDir/$name")
+
+    def startStream() = engine.stream("repos",
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$srcDir/*/"),
+      ckpt, queryName = "cdc-test")
+
+    // phase 1: two source files, run, stop (simulated shutdown)
+    dump(0, 200, "f1"); dump(200, 400, "f2")
+    val q1 = startStream()
+    q1.processAllAvailable()
+    q1.stop()
+
+    val rootSpec = Catalog.fromTree(engine.loadRegistry("repos").get)
+      .find(_.isRoot).get
+    assert(engine.table(rootSpec).read().count() > 0)
+
+    // phase 2: a third file arrives; restart from the same checkpoint
+    dump(400, 600, "f3")
+    val q2 = startStream()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // final state equals a clean single-shot replay of all 600 events
+    val cleanRoot = SparkTestSession.tmpDir("graft-clean-lake-")
+    val cleanEngine = new Engine(spark, cleanRoot, numBuckets = 8)
+    cleanEngine.applyEvents("repos", all, "clean:0")
+    val cleanSpec = Catalog.fromTree(cleanEngine.loadRegistry("repos").get)
+      .find(_.isRoot).get
+
+    def state(e: Engine, s: graft.catalog.TableSpec) =
+      e.table(s).read().select("ID", "REV", "CONTENT").orderBy("ID")
+        .collect().map(_.toString).toSeq
+
+    assert(state(engine, rootSpec) == state(cleanEngine, cleanSpec))
+    assert(state(engine, rootSpec).nonEmpty)
+
+    // lineage: commit tags unique (idempotent application), batches span
+    // the restart boundary
+    val tags = engine.table(rootSpec).snapshot().lineage.map(_.tag)
+    assert(tags.distinct.size == tags.size)
+    assert(tags.size >= 2)
+  }
+}
