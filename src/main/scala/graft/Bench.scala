@@ -1,24 +1,101 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.catalog.Catalog
+import graft.cdc.EventGen
+import graft.engine.Engine
+
+/** Benchmark main (driver-run per round → BENCH_r{N}.json).
+  *
+  * Headline metric (BASELINE.md): sustained change-events/sec applied by
+  * the CDC engine (full replay → final state), plus throughput at two
+  * parallelism levels (N and 4N cores on the same input — the sandbox
+  * evidence protocol for the north rule's two-cluster-size criterion)
+  * and the per-query wall times of the SparkEntry harness.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+  private def newSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Replay `n` events through the engine in `batches` micro-batches into
+    * a fresh lake; returns wall seconds. */
+  private def replay(spark: SparkSession, n: Long, batches: Int,
+      buckets: Int): Double = {
+    import org.apache.spark.sql.functions.col
+    val lake = java.nio.file.Files.createTempDirectory("graft-bench-lake-")
+      .toString
+    val engine = new Engine(spark, lake, numBuckets = buckets)
+    val p = EventGen.Params(nEvents = n, nRepos = 200, pathsPerRepo = 100)
+    val all = EventGen.events(spark, p,
+      partitions = spark.sparkContext.defaultParallelism).toDF().cache()
+    all.count() // materialize generation outside the timed region
+    val per = n / batches
+    val t0 = System.nanoTime()
+    (0 until batches).foreach { b =>
+      val hi = if (b == batches - 1) n else (b + 1) * per
+      engine.applyEvents("repos",
+        all.filter(col("lsn") >= b * per && col("lsn") < hi), s"bench:$b")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val secs = (System.nanoTime() - t0) / 1e9
+    all.unpersist()
+    // sanity: root table exists and is non-trivial
+    val spec = Catalog.fromTree(engine.loadRegistry("repos").get)
+      .find(_.isRoot).get
+    require(engine.table(spec).read().count() > 0)
+    secs
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "40000").toLong
+    val batches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "4").toInt
+
+    // --- per-query harness timings at full parallelism ---
+    var spark = newSession(cpus)
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+
+    // --- CDC replay at N/4 cores then N cores (scaling evidence) ---
+    val lowCores = math.max(1, cpus / 4)
     spark.stop()
+    spark = newSession(lowCores)
+    val warm = replay(spark, math.min(nEvents / 4, 5000), 2, 16) // JIT warm
+    val tLow = replay(spark, nEvents, batches, 32)
+    spark.stop()
+    spark = newSession(cpus)
+    val tHigh = replay(spark, nEvents, batches, 32)
+    val epsLow = nEvents / tLow
+    val epsHigh = nEvents / tHigh
+    val efficiency = epsHigh / (4.0 * epsLow)
+    spark.stop()
+
+    val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"cdc_events_per_sec","value":${f"$epsHigh%.1f"},""" +
+      s""""unit":"events/sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""cdc":{"events":$nEvents,"batches":$batches,""" +
+      s""""cores_low":$lowCores,"cores_high":$cpus,""" +
+      s""""secs_low":${f"$tLow%.2f"},"secs_high":${f"$tHigh%.2f"},""" +
+      s""""eps_low":${f"$epsLow%.1f"},"eps_high":${f"$epsHigh%.1f"},""" +
+      s""""scaling_efficiency":${f"$efficiency%.3f"},"warm":${f"$warm%.2f"}}}""")
   }
 }

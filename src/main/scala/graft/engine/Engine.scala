@@ -38,6 +38,10 @@ final case class ApplyStats(
 final class Engine(val spark: SparkSession, val lakeRoot: String,
     val numBuckets: Int = 64) {
 
+  // doctosql coercions are lenient (invalid date/number → null,
+  // sqlDML.ts:257-296); Spark 4 defaults to ANSI (throwing) casts
+  spark.conf.set("spark.sql.ansi.enabled", "false")
+
   // ---------- schema registry (persisted widened tree per entity) ----------
 
   private def registryDir(entity: String) =

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID, fingerprinting.
+  * Everything is a pure column expression where possible (codegen'd);
+  * the two genuinely-custom pieces (lang-id, rolling-hash fingerprint)
+  * are deterministic Scala UDFs over a single string column.
+  */
+object TextOps {
+
+  /** Whitespace token count — the oracle-friendly space-count form
+    * (identical semantics in Spark and ANSI SQL). */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1)
+      .cast("int").as("token_count")
+
+  /** BPE-ish subword count: splits on whitespace AND letter/digit/punct
+    * boundaries — a cheap deterministic proxy for tokenizer load. */
+  def subwordCount(text: Column): Column =
+    size(split(text, "\\s+|(?<=[a-z])(?=[A-Z])|(?<=\\p{L})(?=\\d)|(?<=\\d)(?=\\p{L})|(?=[^\\p{L}\\d\\s])"))
+      .cast("int").as("subword_count")
+
+  /** Quality features per document: length, token stats, punctuation and
+    * uppercase ratios, and a composite [0,1] score. Deterministic. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = (length(t) - length(regexp_replace(t, " ", "")) + 1).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double")
+    val upper = (length(t) - length(regexp_replace(t, "[A-Z]", ""))).cast("double")
+    val len = length(t).cast("double")
+    df.withColumn("n_tokens", toks.cast("int"))
+      .withColumn("avg_token_len", round(len / greatest(toks, lit(1.0)), 4))
+      .withColumn("punct_ratio", round(punct / greatest(len, lit(1.0)), 4))
+      .withColumn("upper_ratio", round(upper / greatest(len, lit(1.0)), 4))
+      .withColumn("quality_score", round(
+        lit(1.0)
+          - least(lit(0.5), punct / greatest(len, lit(1.0)) * 2)
+          - least(lit(0.3), upper / greatest(len, lit(1.0)))
+          - when(len < 20, 0.4).when(len < 100, 0.1).otherwise(0.0), 4))
+  }
+
+  /** Tiny per-language marker profiles (top function words). Deterministic
+    * n-gram/stopword heuristic — the Spark-side plumbing is the point; a
+    * production model would slot into the same signature. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " ist ", " das "),
+    "fr" -> Seq(" le ", " et ", " la ", " est ", " les "),
+    "es" -> Seq(" el ", " y ", " la ", " es ", " los "),
+    "zh" -> Seq("的", "是", "了", "在", "我"),
+  )
+
+  /** Language-ID: marker-hit scoring, ties broken by profile order,
+    * fallback "und". Pure function of the text. */
+  def langIdOf(text: String): String = {
+    val padded = " " + text.toLowerCase + " "
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => countOccurrences(padded, m)).sum
+    }
+    val best = scores.maxBy(_._2)
+    if (best._2 == 0) "und" else best._1
+  }
+
+  private def countOccurrences(s: String, sub: String): Int = {
+    var c = 0; var i = s.indexOf(sub)
+    while (i >= 0) { c += 1; i = s.indexOf(sub, i + 1) }
+    c
+  }
+
+  val langIdUdf = udf(langIdOf _)
+
+  /** Rolling-hash document fingerprint: Karp-Rabin over character k-grams,
+    * winnowed to the minimum hash in each window — robust to small edits,
+    * equal fingerprints ⇒ likely near-identical prefixes of content. */
+  def fingerprintOf(text: String, k: Int = 8, window: Int = 16): Long = {
+    if (text.length < k) return text.hashCode.toLong
+    val B = 1000000007L
+    var pow = 1L
+    (1 until k).foreach(_ => pow = pow * B)
+    var h = 0L
+    val hashes = new Array[Long](text.length - k + 1)
+    var i = 0
+    while (i < text.length) {
+      h = h * B + text.charAt(i)
+      if (i >= k) h -= pow * B * text.charAt(i - k)
+      if (i >= k - 1) hashes(i - k + 1) = h
+      i += 1
+    }
+    // winnow: xor of per-window minima (order-insensitive digest)
+    var acc = 0L
+    var w = 0
+    while (w + window <= hashes.length) {
+      var m = Long.MaxValue
+      var j = w
+      while (j < w + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      acc ^= java.lang.Long.rotateLeft(m, (w / window) % 64)
+      w += window
+    }
+    if (acc == 0L) hashes(0) else acc
+  }
+
+  val fingerprintUdf = udf((s: String) => fingerprintOf(s))
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Specs for the training-data pipeline operators: dedup family,
+  * similarity search, text analysis, multimodal plumbing. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docsDir = "/root/testdata/sf0.001"
+  private lazy val documents = spark.read.parquet(s"$docsDir/documents.parquet")
+  private lazy val embeddings = spark.read.parquet(s"$docsDir/embeddings.parquet")
+
+  // ---------- dedup ----------
+
+  test("exact dedup finds planted duplicates and keeps smallest id") {
+    val df = documents.limit(50)
+      .unionByName(documents.limit(10).withColumn("doc_id", col("doc_id") + 1000))
+    val groups = Dedup.exactGroups(df, "doc_id", "text")
+    assert(groups.count() == 50)
+    assert(groups.filter(col("copies") === 2).count() == 10)
+    // keeper is the original (smaller) id
+    assert(groups.filter(col("copies") === 2)
+      .agg(max("keeper_id")).head().getLong(0) < 1000)
+    val kept = Dedup.exactKeep(df, "doc_id", "text")
+    assert(kept.count() == 50)
+  }
+
+  test("minhash estimates track exact jaccard; LSH finds planted near-dups") {
+    val base = documents.limit(40)
+    // plant near-duplicates: append a few tokens to 8 docs
+    val nearDups = documents.limit(8)
+      .withColumn("doc_id", col("doc_id") + 5000)
+      .withColumn("text", concat(col("text"), lit(" tail tok")))
+    val df = base.unionByName(nearDups)
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 16, threshold = 0.5).collect()
+    val planted = pairs.filter(p => p.getAs[Long]("id2") - p.getAs[Long]("id1") == 5000)
+    assert(planted.length >= 7, s"found ${planted.length}/8 planted near-dups")
+    // estimates close to exact jaccard
+    val verified = Dedup.verifyJaccard(
+      Dedup.minhashPairs(df, "doc_id", "text", 5, 64, 16, 0.5),
+      df, "doc_id", "text", 5, 0.5).collect()
+    assert(verified.forall(_.getAs[Double]("jaccard") >= 0.5))
+    assert(verified.length >= 7)
+  }
+
+  test("minhash signature math: identical → 1.0, disjoint → ~0") {
+    val a = Dedup.minhashSignature("the quick brown fox jumps", 5, 64)
+    val b = Dedup.minhashSignature("the quick brown fox jumps", 5, 64)
+    assert(Dedup.estJaccard(a, b) == 1.0)
+    val c = Dedup.minhashSignature("zzzz completely different yyyy", 5, 64)
+    assert(Dedup.estJaccard(a, c) < 0.2)
+    assert(Dedup.exactJaccard("abcdefgh", "abcdefgh", 5) == 1.0)
+    assert(Dedup.exactJaccard("abcdefgh", "zzzzzzzz", 5) == 0.0)
+  }
+
+  test("simhash: small edits → small hamming; pairs surface planted dups") {
+    val t1 = "spark merge join filter window aggregate shuffle partition"
+    val t2 = t1 + " extra"
+    assert(Dedup.hamming(Dedup.simhash(t1), Dedup.simhash(t2)) <= 12)
+    val nearDups = documents.limit(6)
+      .withColumn("doc_id", col("doc_id") + 7000)
+      .withColumn("text", concat(col("text"), lit(" x")))
+    val df = documents.limit(30).unionByName(nearDups)
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 8)
+      .collect()
+    assert(pairs.count(p => p.getAs[Long]("id2") - p.getAs[Long]("id1") == 7000) >= 4)
+  }
+
+  test("embedding near-dup via hyperplane LSH finds planted twins") {
+    val twins = embeddings.limit(10)
+      .withColumn("vec_id", col("vec_id") + 9000)
+    val df = embeddings.limit(60).unionByName(twins)
+    val pairs = Dedup.embeddingPairs(df, "vec_id", "embedding",
+      bits = 8, minCosine = 0.999)
+    val found = pairs.collect()
+      .count(p => p.getAs[Long]("id2") - p.getAs[Long]("id1") == 9000)
+    assert(found == 10) // identical vectors share every bucket
+  }
+
+  // ---------- similarity ----------
+
+  test("brute-force top-k: self is rank 1 with cosine 1.0") {
+    val q = embeddings.filter(col("vec_id") === 3)
+      .head().getSeq[Float](1).toArray
+    val top = Similarity.topKBruteForce(embeddings, "vec_id", "embedding", q, 5)
+      .collect()
+    assert(top.head.getAs[Long]("id") == 3)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-6)
+    assert(top.map(_.getAs[Double]("cosine")).toSeq.sliding(2)
+      .forall(w => w.head >= w.last))
+  }
+
+  test("LSH top-k recalls most of brute-force top-k") {
+    val q = embeddings.filter(col("vec_id") === 7)
+      .head().getSeq[Float](1).toArray
+    val exact = Similarity.topKBruteForce(embeddings, "vec_id", "embedding", q, 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val approx = Similarity.topKLsh(embeddings, "vec_id", "embedding", q,
+      10, bits = 8).collect().map(_.getAs[Long]("id")).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(approx.contains(7L)) // self lands in its own bucket
+    assert(recall >= 0.3, s"recall $recall") // probed buckets only
+  }
+
+  // ---------- text ----------
+
+  test("quality features: deterministic, sane ranges") {
+    val f = TextOps.qualityFeatures(documents.limit(20), "text").collect()
+    assert(f.forall(r => r.getAs[Int]("n_tokens") > 0))
+    assert(f.forall { r =>
+      val q = r.getAs[Double]("quality_score"); q >= -0.2 && q <= 1.0
+    })
+    assert(f.forall(r => r.getAs[Double]("punct_ratio") >= 0.0))
+  }
+
+  test("lang-id markers + fingerprint stability") {
+    assert(TextOps.langIdOf("the cat and the dog is on the mat") == "en")
+    assert(TextOps.langIdOf("der hund und die katze ist da") == "de")
+    assert(TextOps.langIdOf("xyzzy") == "und")
+    val fp1 = TextOps.fingerprintOf("a" * 100 + "stable document body here")
+    val fp2 = TextOps.fingerprintOf("a" * 100 + "stable document body here")
+    assert(fp1 == fp2)
+    assert(TextOps.fingerprintOf("completely different text entirely") != fp1)
+  }
+
+  // ---------- multimodal ----------
+
+  test("multimodal: decode stub, resize, frame-sample plumbing") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    val decoded = Multimodal.decodeAndExtract(assets)
+    val rows = decoded.collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.width >= 64))
+    assert(rows.forall(_.feature.length == 8))
+    // resize caps the max dimension, keeps payload size
+    val resized = Multimodal.resize(assets, maxDim = 32)
+    val rd = Multimodal.decodeAndExtract(resized).collect()
+    assert(rd.forall(m => math.max(m.width, m.height) <= 32))
+    // frame sampling: every 2nd 32-byte frame of a 256-byte body = 4 frames
+    val frames = Multimodal.frameSample(assets, everyNth = 2)
+    assert(frames.groupBy("asset_id").count().collect()
+      .forall(_.getAs[Long]("count") == 4))
+  }
+}
