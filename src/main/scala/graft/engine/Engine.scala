@@ -107,7 +107,8 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
   def load(entity: String, docs: DataFrame, docCol: String,
       commitTag: String, seqCol: Option[String] = None,
       deleteIds: Option[DataFrame] = None,
-      incremental: Boolean = false): ApplyStats = {
+      incremental: Boolean = false,
+      opCol: Option[String] = None): ApplyStats = {
 
     val idExpr: Column = coalesce(
       get_json_object(col(docCol), "$._id"),
@@ -123,14 +124,29 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     val batchEvents = seqed.count()
 
     // per-key dedup: last write wins by event sequence (window row_number
-    // over the sequence — BASELINE.json north-star requirement)
+    // over the sequence — BASELINE.json north-star requirement). The
+    // window shuffles on the fine-grained document key, so a hot REPO
+    // cannot skew a partition the way repo-partitioning would — this IS
+    // the salted layout (key = repo|path|commit ≈ repo + salt).
     val w = Window.partitionBy(idExpr).orderBy(col("_seq").desc)
-    var deduped = seqed
+    val latest = seqed
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
       .withColumn("_docid", idExpr)
       .withColumn("_docrev", revExpr)
-      .persist()
+
+    // op split AFTER dedup: the winning event's op decides upsert vs delete
+    var deduped = (opCol match {
+      case Some(c) => latest.filter(col(c) =!= "delete")
+      case None    => latest
+    }).persist()
+    val delFromOps: Option[DataFrame] = opCol.map { c =>
+      latest.filter(col(c) === "delete").select(col("_docid")).persist()
+    }
+    val allDeletes: Option[DataFrame] = (deleteIds, delFromOps) match {
+      case (Some(a), Some(b)) => Some(a.toDF("_docid").unionByName(b))
+      case (a, b)             => a.orElse(b)
+    }
 
     try {
       var skipped = 0L
@@ -159,7 +175,8 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       }
 
       val dedupedDocs = deduped.count()
-      if (dedupedDocs == 0 && deleteIds.isEmpty)
+      val nDel = allDeletes.map(_.count()).getOrElse(0L)
+      if (dedupedDocs == 0 && nDel == 0)
         return ApplyStats(batchEvents, 0, 0, skipped, 0)
 
       // 1-2: inference + registry widen (docMetadata/sqlMetadata stages)
@@ -178,29 +195,37 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
         if (!lake.exists()) lake.create(t.schema) else lake.evolve(t.schema)
       }
 
-      // 5: flatten + set-oriented merge per table, root first
+      // 5: flatten + set-oriented merge per table, root first. The parsed
+      // struct column is CACHED once — every table's explode chain reads
+      // it instead of re-running from_json per table
       val rootElem = registry.attributes(registry.name)
       val schema = Flattener.readSchema(rootElem)
-      val parsed = deduped.withColumn("_gdoc", from_json(col(docCol), schema))
-      val nDel = deleteIds.map(_.count()).getOrElse(0L)
+      val parsed = deduped
+        .select(col("_docid"), from_json(col(docCol), schema).as("_gdoc"))
+        .persist()
 
-      tables.foreach { t =>
-        val raw = Flattener.tableFrame(parsed, rootElem, tables, t,
-          col("_gdoc"), withOrd = true)
-        // within-doc duplicate keys: keep the last occurrence (the
-        // reference's serial MERGE overwrite order, sqlDML.ts:519-545)
-        val frame = raw
-          .withColumn("_krn", row_number().over(Window
-            .partitionBy(t.keyColumns.map(col): _*)
-            .orderBy(col("_gord").desc)))
-          .filter(col("_krn") === 1)
-          .drop("_krn", "_gord")
-        table(t).merge(frame, t.keyColumns, rootKeyOf(t), commitTag,
-          deleteRootKeys = deleteIds)
-      }
+      try {
+        tables.foreach { t =>
+          val raw = Flattener.tableFrame(parsed, rootElem, tables, t,
+            col("_gdoc"), withOrd = true)
+          // within-doc duplicate keys: keep the last occurrence (the
+          // reference's serial MERGE overwrite order, sqlDML.ts:519-545)
+          val frame = raw
+            .withColumn("_krn", row_number().over(Window
+              .partitionBy(t.keyColumns.map(col): _*)
+              .orderBy(col("_gord").desc)))
+            .filter(col("_krn") === 1)
+            .drop("_krn", "_gord")
+          table(t).merge(frame, t.keyColumns, rootKeyOf(t), commitTag,
+            deleteRootKeys = allDeletes)
+        }
+      } finally parsed.unpersist()
 
       ApplyStats(batchEvents, dedupedDocs, nDel, skipped, tables.size)
-    } finally deduped.unpersist()
+    } finally {
+      deduped.unpersist()
+      delFromOps.foreach(_.unpersist())
+    }
   }
 
   /** incr (index.ts:43-72): like load, but unchanged (ID, REV) docs are
@@ -216,27 +241,9 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     * per-key last-write-wins dedup by `lsn`, delete cascade by root key,
     * idempotent commit under `commitTag`. Returns applied stats. */
   def applyEvents(entity: String, events: DataFrame, commitTag: String,
-      incremental: Boolean = false): ApplyStats = {
-    val idExpr = coalesce(
-      get_json_object(col("doc"), "$._id"),
-      get_json_object(col("doc"), "$.id"))
-    val w = Window.partitionBy(idExpr).orderBy(col("lsn").desc)
-    val latest = events
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-      .persist()
-    try {
-      val upserts = latest.filter(col("op") =!= "delete")
-      val deletes = latest.filter(col("op") === "delete")
-        .select(idExpr.as("_delid"))
-      val nDeletes = deletes.count()
-      val delOpt = if (nDeletes > 0) Some(deletes) else None
-      val stats = load(entity, upserts, "doc", commitTag, seqCol = Some("lsn"),
-        deleteIds = delOpt, incremental = incremental)
-      stats.copy(deletes = nDeletes,
-        batchEvents = events.count())
-    } finally latest.unpersist()
-  }
+      incremental: Boolean = false): ApplyStats =
+    load(entity, events, "doc", commitTag, seqCol = Some("lsn"),
+      incremental = incremental, opCol = Some("op"))
 
   /** Structured-Streaming entry: change-event tail → lake tables.
     * Exactly-once: Spark checkpointing replays unacknowledged batches and

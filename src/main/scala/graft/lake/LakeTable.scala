@@ -235,11 +235,15 @@ final class LakeTable(val spark: SparkSession, val root: String,
       .withColumn(BucketCol, bucketExpr(col(rootKeyCol))).persist())
 
     try {
-      // touched buckets: tiny collect (≤ numBuckets values)
+      // touched buckets + batch size in ONE job per side (collect_set is a
+      // partial-aggregated ≤numBuckets-value set — no wide shuffle)
+      val upAgg = up.agg(collect_set(col(BucketCol)), count(lit(1))).head()
+      val upserted = upAgg.getLong(1)
+      val delAgg = delKeys.map(_.agg(collect_set(col(BucketCol)),
+        count(lit(1))).head())
+      val deleted = delAgg.map(_.getLong(1)).getOrElse(0L)
       val touched: Set[Int] =
-        (up.select(BucketCol).distinct().collect().map(_.getInt(0)) ++
-          delKeys.toSeq.flatMap(_.select(BucketCol).distinct().collect()
-            .map(_.getInt(0)))).toSet
+        (upAgg.getSeq[Int](0) ++ delAgg.toSeq.flatMap(_.getSeq[Int](0))).toSet
       if (touched.isEmpty) return commitEmpty(s, commitTag, t0)
 
       val existing = readSegments(s, seg => touched.contains(seg.bucket))
@@ -257,7 +261,8 @@ final class LakeTable(val spark: SparkSession, val root: String,
       val out = survivors.unionByName(upLive)
         .withColumn(BucketCol, bucketExpr(col(rootKeyCol)))
 
-      // write one commit directory, one leaf dir per bucket
+      // write one commit directory, one leaf dir per bucket (single job;
+      // applied/deleted row metrics come from the agg above, no rescans)
       val commitRel = f"data/c${s.version + 1}%05d"
       out
         .repartition(math.min(numBuckets, touched.size * 2), col(BucketCol))
@@ -265,22 +270,13 @@ final class LakeTable(val spark: SparkSession, val root: String,
         .write.partitionBy(BucketCol).mode("overwrite")
         .parquet(dir.resolve(commitRel).toString)
 
-      // discover written buckets + row counts in one scan of the commit dir
-      // (partition discovery recovers the bucket column); an all-deleted
-      // bucket set can legitimately write zero files
+      // an all-deleted bucket set can legitimately write zero files
       val bucketDirs = listBucketDirs(dir.resolve(commitRel))
-      val counts: Map[Int, Long] =
-        if (bucketDirs.isEmpty) Map.empty
-        else spark.read.parquet(dir.resolve(commitRel).toString)
-          .groupBy(col(BucketCol)).count().collect()
-          .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
       val newSegs = bucketDirs.map { case (b, p) =>
         Segment(dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
-          counts.getOrElse(b, 0L))
+          -1L) // per-bucket rows not tracked; batch total in lineage
       }
       val kept = s.segments.filterNot(seg => touched.contains(seg.bucket))
-      val upserted = up.count()
-      val deleted = delKeys.map(_.count()).getOrElse(0L)
       val next = s.copy(
         version = s.version + 1,
         segments = kept ++ newSegs,
