@@ -3,29 +3,38 @@ package graft.lake
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
 
 import graft.schema.{JArr, JNum, JObj, JStr, JValue, Json}
 
 /** One data segment: a parquet leaf directory holding exactly one key
-  * bucket, written under one schema version. */
-final case class Segment(path: String, bucket: Int, schemaVer: Int, rows: Long)
+  * bucket, written under one schema version.
+  *
+  * @param kind "base" (compacted, one per bucket) or "delta" (append-only
+  *             upsert batch — merge-on-read)
+  * @param seq  commit sequence the segment was written at (row visibility
+  *             order for merge-on-read resolution)
+  */
+final case class Segment(path: String, bucket: Int, schemaVer: Int,
+    kind: String, seq: Long)
 
 /** Per-commit lineage record (the rebuild's answer to the reference's
   * TMPDIR db script audit files, sqlDDL.ts:107-116). */
 final case class Lineage(tag: String, buckets: Seq[Int], upserted: Long,
-    deleted: Long, wallMs: Long)
+    deleted: Long, compacted: Seq[Int], wallMs: Long)
 
-/** An immutable table snapshot: schema history, live segments, applied
-  * commit tags (exactly-once), lineage. */
+/** An immutable table snapshot: schema history, live segments, merge keys,
+  * applied commit tags (exactly-once), lineage. */
 final case class Snapshot(
     version: Int,
     schemaVer: Int,
     schemas: Map[Int, StructType], // ver → schema (history for old files)
+    keyCols: Seq[String],          // merge identity (FK chain + PK)
     segments: Seq[Segment],
-    commits: Set[String], // applied (streamId:batchId) tags
+    commits: Set[String],          // applied (streamId:batchId) tags
     lineage: Seq[Lineage],
 ) {
   def schema: StructType = schemas(schemaVer)
@@ -33,26 +42,39 @@ final case class Snapshot(
 
 /** A minimal snapshot-committing lake table over parquet — MERGE upserts,
   * additive schema evolution, snapshot isolation, idempotent re-commit.
+  * No Iceberg jar exists in this sandbox (SURVEY.md §7.0); this supplies
+  * the properties the north rule names.
   *
   * Replaces the reference's SQL Server tables + per-row `MERGE INTO`
-  * (/root/reference/src/lib/sqlDML.ts:155-423) with set-oriented,
-  * bucket-pruned merges: data is hash-bucketed on the root key, a merge
-  * touches (reads + rewrites) only the buckets present in the update
-  * batch, and every commit is an atomic snapshot-file rename. No Iceberg
-  * jar exists in this sandbox (SURVEY.md §7.0); this supplies the same
-  * properties the north rule names.
+  * (/root/reference/src/lib/sqlDML.ts:155-423) with a **merge-on-read**
+  * design (the Hudi-MOR / Paimon shape):
   *
-  * Scale design: `numBuckets` bounds the rewrite amplification — at 100 TB
-  * a batch touching K buckets rewrites K/numBuckets of the table, and the
-  * anti-join runs only over those buckets, shuffled (or broadcast via AQE)
-  * on the merge key.
+  *  - data is hash-bucketed on the ROOT document key, co-partitioning a
+  *    document's rows across all of its tables;
+  *  - an upsert batch APPENDS one delta segment per touched bucket — no
+  *    existing data is read or rewritten on the hot path, so ingest cost
+  *    is O(batch), not O(touched table data);
+  *  - reads resolve the newest row per key with one window
+  *    (`row_number over (partition by key order by _gseq desc)`);
+  *  - deletes and delta buildup (≥ maxDeltas) trigger per-bucket inline
+  *    compaction: those buckets are resolved and rewritten as a single
+  *    base segment, so read amplification stays bounded;
+  *  - every commit is an atomic snapshot-file rename; a commit tag seen
+  *    before makes the whole merge a no-op (exactly-once under
+  *    foreachBatch retries).
+  *
+  * At 100 TB: numBuckets scales to thousands; a micro-batch writes ~1 file
+  * per touched bucket, compaction amortizes rewrites to 1/maxDeltas of
+  * ingested bytes, and the read window shuffles only on (already
+  * co-bucketed) key columns.
   */
 final class LakeTable(val spark: SparkSession, val root: String,
-    val name: String, val numBuckets: Int = 64) {
+    val name: String, val numBuckets: Int = 64, val maxDeltas: Int = 8) {
 
   private val dir: Path = Paths.get(root, name)
   private val snapDir: Path = dir.resolve("_snap")
   val BucketCol = "_gbucket"
+  val SeqCol = "_gseq"
 
   // ---------- snapshot log ----------
 
@@ -80,34 +102,38 @@ final class LakeTable(val spark: SparkSession, val root: String,
 
   private def readSnapshot(p: Path, v: Int): Snapshot = {
     val o = Json.parse(Files.readString(p)).asInstanceOf[JObj]
-    def str(k: String) = o.get(k).collect { case JStr(s) => s }
     def arr(k: String) = o.get(k).collect { case JArr(x) => x }.getOrElse(Vector.empty)
     val schemaVer = o.get("schemaVer").collect { case JNum(n) => n.toInt }.get
     val schemas = o.get("schemas").collect { case JObj(fs) =>
-      fs.map { case (k, JStr(s)) =>
-        k.toInt -> DataType.fromJson(s).asInstanceOf[StructType]
-      case (k, _) => throw new IllegalStateException(s"bad schema entry $k")
+      fs.map {
+        case (k, JStr(s)) => k.toInt -> DataType.fromJson(s).asInstanceOf[StructType]
+        case (k, _) => throw new IllegalStateException(s"bad schema entry $k")
       }.toMap
     }.get
-    val segs = arr("segments").map { case seg: JObj =>
-      Segment(
-        seg.get("path").collect { case JStr(s) => s }.get,
-        seg.get("bucket").collect { case JNum(n) => n.toInt }.get,
-        seg.get("schemaVer").collect { case JNum(n) => n.toInt }.get,
-        seg.get("rows").collect { case JNum(n) => n.toLong }.get)
-    case _ => throw new IllegalStateException("bad segment")
+    val keyCols = arr("keyCols").collect { case JStr(s) => s }
+    val segs = arr("segments").map {
+      case seg: JObj =>
+        Segment(
+          seg.get("path").collect { case JStr(s) => s }.get,
+          seg.get("bucket").collect { case JNum(n) => n.toInt }.get,
+          seg.get("schemaVer").collect { case JNum(n) => n.toInt }.get,
+          seg.get("kind").collect { case JStr(s) => s }.getOrElse("base"),
+          seg.get("seq").collect { case JNum(n) => n.toLong }.getOrElse(0L))
+      case _ => throw new IllegalStateException("bad segment")
     }
     val commits = arr("commits").collect { case JStr(s) => s }.toSet
-    val lineage = arr("lineage").map { case l: JObj =>
-      Lineage(
-        l.get("tag").collect { case JStr(s) => s }.get,
-        l.get("buckets").collect { case JArr(b) => b.collect { case JNum(n) => n.toInt } }.getOrElse(Vector.empty),
-        l.get("upserted").collect { case JNum(n) => n.toLong }.getOrElse(0L),
-        l.get("deleted").collect { case JNum(n) => n.toLong }.getOrElse(0L),
-        l.get("wallMs").collect { case JNum(n) => n.toLong }.getOrElse(0L))
-    case _ => throw new IllegalStateException("bad lineage")
+    val lineage = arr("lineage").map {
+      case l: JObj =>
+        Lineage(
+          l.get("tag").collect { case JStr(s) => s }.get,
+          l.get("buckets").collect { case JArr(b) => b.collect { case JNum(n) => n.toInt } }.getOrElse(Vector.empty),
+          l.get("upserted").collect { case JNum(n) => n.toLong }.getOrElse(0L),
+          l.get("deleted").collect { case JNum(n) => n.toLong }.getOrElse(0L),
+          l.get("compacted").collect { case JArr(b) => b.collect { case JNum(n) => n.toInt } }.getOrElse(Vector.empty),
+          l.get("wallMs").collect { case JNum(n) => n.toLong }.getOrElse(0L))
+      case _ => throw new IllegalStateException("bad lineage")
     }
-    Snapshot(v, schemaVer, schemas, segs, commits, lineage)
+    Snapshot(v, schemaVer, schemas, keyCols, segs, commits, lineage)
   }
 
   private def writeSnapshot(s: Snapshot): Unit = {
@@ -118,16 +144,19 @@ final class LakeTable(val spark: SparkSession, val root: String,
       "schemas" -> JObj(s.schemas.toVector.sortBy(_._1).map { case (k, v) =>
         k.toString -> (JStr(v.json): JValue)
       }),
+      "keyCols" -> JArr(s.keyCols.map(JStr(_): JValue).toVector),
       "segments" -> JArr(s.segments.map(seg => JObj(Vector(
         "path" -> JStr(seg.path), "bucket" -> JNum(seg.bucket.toString),
         "schemaVer" -> JNum(seg.schemaVer.toString),
-        "rows" -> JNum(seg.rows.toString))): JValue).toVector),
+        "kind" -> JStr(seg.kind),
+        "seq" -> JNum(seg.seq.toString))): JValue).toVector),
       "commits" -> JArr(s.commits.toVector.sorted.map(JStr(_): JValue)),
       "lineage" -> JArr(s.lineage.map(l => JObj(Vector(
         "tag" -> JStr(l.tag),
         "buckets" -> JArr(l.buckets.map(b => JNum(b.toString): JValue).toVector),
         "upserted" -> JNum(l.upserted.toString),
         "deleted" -> JNum(l.deleted.toString),
+        "compacted" -> JArr(l.compacted.map(b => JNum(b.toString): JValue).toVector),
         "wallMs" -> JNum(l.wallMs.toString))): JValue).toVector),
     ))
     val tmp = snapDir.resolve(f".tmp-v${s.version}%05d.json")
@@ -140,22 +169,21 @@ final class LakeTable(val spark: SparkSession, val root: String,
   // ---------- DDL ----------
 
   /** Create the table (v1 snapshot, no data). No-op if it exists. */
-  def create(schema: StructType): Unit = if (!exists()) {
+  def create(schema: StructType, keyCols: Seq[String]): Unit = if (!exists()) {
     Files.createDirectories(dir.resolve("data"))
-    writeSnapshot(Snapshot(1, 1, Map(1 -> schema), Nil, Set.empty, Nil))
+    writeSnapshot(Snapshot(1, 1, Map(1 -> schema), keyCols, Nil, Set.empty, Nil))
   }
 
   /** Additive schema evolution (alterTables, sqlDDL.ts:27-65): commit a
-    * new schema version. Caller supplies the already-widened schema (the
-    * widening lattice lives in the registry); existing files keep their
-    * old schema version and are cast on read. No-op when unchanged. */
-  def evolve(newSchema: StructType): Snapshot = {
+    * new schema version (and refreshed key columns). Existing files keep
+    * their old schema version and are cast on read. No-op when unchanged. */
+  def evolve(newSchema: StructType, keyCols: Seq[String]): Snapshot = {
     val s = snapshot()
-    if (s.schema == newSchema) s
+    if (s.schema == newSchema && s.keyCols == keyCols) s
     else {
-      val ver = s.schemaVer + 1
+      val ver = if (s.schema == newSchema) s.schemaVer else s.schemaVer + 1
       val next = s.copy(version = s.version + 1, schemaVer = ver,
-        schemas = s.schemas + (ver -> newSchema))
+        schemas = s.schemas + (ver -> newSchema), keyCols = keyCols)
       writeSnapshot(next)
       next
     }
@@ -163,19 +191,20 @@ final class LakeTable(val spark: SparkSession, val root: String,
 
   // ---------- read ----------
 
-  /** Read the current snapshot: every live segment, aligned (missing
-    * columns → null, changed types → cast) to the current schema. */
-  def read(): DataFrame = readSegments(snapshot(), _ => true)
+  /** Read the current snapshot, merge-on-read resolved: newest row per key
+    * across base + delta segments, aligned to the current schema. */
+  def read(): DataFrame = resolve(snapshot(), _ => true)
 
-  /** Read only the given buckets (merge-side partition pruning). */
+  /** Read only the given buckets (partition pruning for key-local scans). */
   def readBuckets(buckets: Set[Int]): DataFrame =
-    readSegments(snapshot(), seg => buckets.contains(seg.bucket))
+    resolve(snapshot(), seg => buckets.contains(seg.bucket))
 
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  private def readSegments(s: Snapshot, keep: Segment => Boolean): DataFrame = {
-    val target = s.schema
+  /** Raw segment union (with the visibility-seq meta column), aligned. */
+  private def readRaw(s: Snapshot, keep: Segment => Boolean): DataFrame = {
+    val target = s.schema.add(SeqCol, LongType)
     val live = s.segments.filter(keep)
     if (live.isEmpty) emptyDf(target)
     else {
@@ -183,7 +212,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       // then aligns to the current one (additive evolution ⇒ cast-safe)
       val parts = live.groupBy(_.schemaVer).toSeq.sortBy(_._1).map {
         case (ver, segs) =>
-          val df = spark.read.schema(s.schemas(ver))
+          val df = spark.read.schema(s.schemas(ver).add(SeqCol, LongType))
             .parquet(segs.map(seg => dir.resolve(seg.path).toString): _*)
           align(df, target)
       }
@@ -191,30 +220,52 @@ final class LakeTable(val spark: SparkSession, val root: String,
     }
   }
 
-  private def align(df: DataFrame, target: StructType): DataFrame = {
-    val have = df.schema.fieldNames.toSet
-    df.select(target.fields.toSeq.map { f =>
-      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
+  /** Merge-on-read resolution: one window on the (co-bucketed) key. Buckets
+    * holding a single base segment are already resolved and skip the
+    * window entirely — steady-state reads after compaction pay no shuffle
+    * for those buckets. */
+  private def resolve(s: Snapshot, keep: Segment => Boolean): DataFrame = {
+    val perBucket = s.segments.filter(keep).groupBy(_.bucket)
+    val (clean, dirty) = perBucket.partition { case (_, segs) =>
+      segs.size == 1 && segs.head.kind == "base"
+    }
+    val cleanSegs = clean.values.flatten.toSet
+    val dirtySegs = dirty.values.flatten.toSet
+    val cleanDf =
+      if (cleanSegs.isEmpty) None
+      else Some(readRaw(s, cleanSegs.contains).drop(SeqCol))
+    val dirtyDf =
+      if (dirtySegs.isEmpty) None
+      else {
+        val w = Window.partitionBy(s.keyCols.map(col): _*)
+          .orderBy(col(SeqCol).desc)
+        Some(readRaw(s, dirtySegs.contains)
+          .withColumn("_grn", row_number().over(w))
+          .filter(col("_grn") === 1)
+          .drop("_grn", SeqCol))
+      }
+    (cleanDf, dirtyDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None)       => emptyDf(s.schema)
+    }
   }
 
-  // ---------- merge (the reference's MERGE INTO, set-oriented) ----------
+  // ---------- merge (the reference's MERGE INTO, set-oriented MoR) ----------
 
   /** Bucket expression over the table's root-key column — co-partitions
     * all tables of one document family into the same bucket. */
-  def bucketExpr(rootKey: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def bucketExpr(rootKey: Column): Column =
     pmod(xxhash64(rootKey), lit(numBuckets)).cast(IntegerType)
 
-  /** Idempotent, bucket-pruned MERGE:
-    *   - rows of `updates` replace existing rows with the same `keyCols`
+  /** Idempotent merge-on-read upsert:
+    *   - `updates` rows shadow older rows with the same `keyCols`
+    *     (visibility via the commit sequence column)
     *   - rows whose `rootKeyCol` appears in `deleteRootKeys` are removed
-    *   - only buckets present in the batch are read or rewritten
+    *     (delete-touched buckets are compacted inline)
+    *   - buckets with ≥ maxDeltas deltas are compacted inline
     *   - a `commitTag` already in the snapshot makes the call a no-op
-    *     (exactly-once under foreachBatch retry)
-    *
-    * @param rootKeyCol column (in both `updates` and the table) that carries
-    *                   the root-document key — bucketing + delete cascade
     */
   def merge(
       updates: DataFrame,
@@ -228,61 +279,89 @@ final class LakeTable(val spark: SparkSession, val root: String,
     if (s.commits.contains(commitTag)) return s // idempotent re-commit
 
     val target = s.schema
-    val up = align(updates, target)
+    val newSeq = s.version + 1L
+    val up = align(updates.withColumn(SeqCol, lit(newSeq)),
+      target.add(SeqCol, LongType))
       .withColumn(BucketCol, bucketExpr(col(rootKeyCol)))
       .persist()
     val delKeys = deleteRootKeys.map(_.toDF(rootKeyCol)
       .withColumn(BucketCol, bucketExpr(col(rootKeyCol))).persist())
 
     try {
-      // touched buckets + batch size in ONE job per side (collect_set is a
-      // partial-aggregated ≤numBuckets-value set — no wide shuffle)
+      // touched buckets + batch sizes in ONE job per side (collect_set is
+      // a partial-aggregated ≤numBuckets-value set — no wide shuffle)
       val upAgg = up.agg(collect_set(col(BucketCol)), count(lit(1))).head()
       val upserted = upAgg.getLong(1)
       val delAgg = delKeys.map(_.agg(collect_set(col(BucketCol)),
         count(lit(1))).head())
       val deleted = delAgg.map(_.getLong(1)).getOrElse(0L)
-      val touched: Set[Int] =
-        (upAgg.getSeq[Int](0) ++ delAgg.toSeq.flatMap(_.getSeq[Int](0))).toSet
+      val upBuckets: Set[Int] = upAgg.getSeq[Int](0).toSet
+      val delBuckets: Set[Int] = delAgg.map(_.getSeq[Int](0).toSet)
+        .getOrElse(Set.empty)
+      val touched = upBuckets ++ delBuckets
       if (touched.isEmpty) return commitEmpty(s, commitTag, t0)
 
-      val existing = readSegments(s, seg => touched.contains(seg.bucket))
-      // survivors: existing rows not superseded by an update and not deleted
-      var survivors = existing.join(up.select(keyCols.map(col): _*),
-        keyCols, "left_anti")
-      delKeys.foreach { dk =>
-        survivors = survivors.join(dk.select(rootKeyCol), Seq(rootKeyCol), "left_anti")
-      }
-      val upLive = delKeys match {
-        case Some(dk) => up.drop(BucketCol)
-          .join(dk.select(rootKeyCol), Seq(rootKeyCol), "left_anti")
-        case None => up.drop(BucketCol)
-      }
-      val out = survivors.unionByName(upLive)
-        .withColumn(BucketCol, bucketExpr(col(rootKeyCol)))
+      // compaction set: delete-touched buckets + buckets at the delta cap
+      val deltaCount: Map[Int, Int] = s.segments
+        .filter(_.kind == "delta").groupBy(_.bucket).map { case (b, xs) => b -> xs.size }
+      val compact = delBuckets ++
+        touched.filter(b => deltaCount.getOrElse(b, 0) >= maxDeltas - 1)
+      val deltaOnly = touched -- compact
 
-      // write one commit directory, one leaf dir per bucket (single job;
-      // applied/deleted row metrics come from the agg above, no rescans)
-      val commitRel = f"data/c${s.version + 1}%05d"
-      out
-        .repartition(math.min(numBuckets, touched.size * 2), col(BucketCol))
-        .sortWithinPartitions(keyCols.map(col): _*)
-        .write.partitionBy(BucketCol).mode("overwrite")
-        .parquet(dir.resolve(commitRel).toString)
+      val ver = s.version + 1
+      var newSegs = Vector.empty[Segment]
 
-      // an all-deleted bucket set can legitimately write zero files
-      val bucketDirs = listBucketDirs(dir.resolve(commitRel))
-      val newSegs = bucketDirs.map { case (b, p) =>
-        Segment(dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
-          -1L) // per-bucket rows not tracked; batch total in lineage
+      // fast path: append one delta segment per upsert-only bucket
+      if (deltaOnly.nonEmpty) {
+        val rel = f"data/c$ver%05dd"
+        up.filter(col(BucketCol).isin(deltaOnly.toSeq: _*))
+          .repartition(math.max(1, math.min(numBuckets, deltaOnly.size)),
+            col(BucketCol))
+          .sortWithinPartitions(keyCols.map(col): _*)
+          .write.partitionBy(BucketCol).mode("overwrite")
+          .parquet(dir.resolve(rel).toString)
+        newSegs ++= listBucketDirs(dir.resolve(rel)).map { case (b, p) =>
+          Segment(dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
+            "delta", newSeq)
+        }
       }
-      val kept = s.segments.filterNot(seg => touched.contains(seg.bucket))
+
+      // compaction path: resolve existing ∪ updates, drop deletes, rewrite
+      if (compact.nonEmpty) {
+        val existing = readRaw(s, seg => compact.contains(seg.bucket))
+        val fresh = up.filter(col(BucketCol).isin(compact.toSeq: _*))
+          .drop(BucketCol)
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(SeqCol).desc)
+        var resolved = existing.unionByName(fresh)
+          .withColumn("_grn", row_number().over(w))
+          .filter(col("_grn") === 1).drop("_grn")
+        delKeys.foreach { dk =>
+          resolved = resolved.join(dk.select(rootKeyCol), Seq(rootKeyCol),
+            "left_anti")
+        }
+        val rel = f"data/c$ver%05db"
+        resolved
+          .withColumn(BucketCol, bucketExpr(col(rootKeyCol)))
+          .repartition(math.max(1, math.min(numBuckets, compact.size)),
+            col(BucketCol))
+          .sortWithinPartitions(keyCols.map(col): _*)
+          .write.partitionBy(BucketCol).mode("overwrite")
+          .parquet(dir.resolve(rel).toString)
+        newSegs ++= listBucketDirs(dir.resolve(rel)).map { case (b, p) =>
+          Segment(dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
+            "base", newSeq)
+        }
+      }
+
+      val kept = s.segments.filterNot(seg => compact.contains(seg.bucket))
       val next = s.copy(
-        version = s.version + 1,
+        version = ver,
         segments = kept ++ newSegs,
         commits = s.commits + commitTag,
         lineage = s.lineage :+ Lineage(commitTag, touched.toSeq.sorted,
-          upserted, deleted, (System.nanoTime() - t0) / 1000000),
+          upserted, deleted, compact.toSeq.sorted,
+          (System.nanoTime() - t0) / 1000000),
       )
       writeSnapshot(next)
       next
@@ -292,9 +371,17 @@ final class LakeTable(val spark: SparkSession, val root: String,
     }
   }
 
+  private def align(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.schema.fieldNames.toSet
+    df.select(target.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   private def commitEmpty(s: Snapshot, tag: String, t0: Long): Snapshot = {
     val next = s.copy(version = s.version + 1, commits = s.commits + tag,
-      lineage = s.lineage :+ Lineage(tag, Nil, 0, 0,
+      lineage = s.lineage :+ Lineage(tag, Nil, 0, 0, Nil,
         (System.nanoTime() - t0) / 1000000))
     writeSnapshot(next)
     next
