@@ -29,18 +29,28 @@ object Bench {
     s
   }
 
+  /** One-time event materialization: the change-event tail as parquet (the
+    * realistic WAL-read shape; generation excluded from all timed runs). */
+  private def eventsDir(spark: SparkSession, n: Long): String = {
+    val dir = s"/tmp/graft-bench-events-$n"
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))) {
+      val p = EventGen.Params(nEvents = n, nRepos = 200, pathsPerRepo = 100)
+      EventGen.events(spark, p,
+        partitions = spark.sparkContext.defaultParallelism)
+        .toDF().write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   /** Replay `n` events through the engine in `batches` micro-batches into
-    * a fresh lake; returns wall seconds. */
+    * a fresh lake; returns wall seconds (read + apply, generation excluded). */
   private def replay(spark: SparkSession, n: Long, batches: Int,
       buckets: Int): Double = {
     import org.apache.spark.sql.functions.col
     val lake = java.nio.file.Files.createTempDirectory("graft-bench-lake-")
       .toString
     val engine = new Engine(spark, lake, numBuckets = buckets)
-    val p = EventGen.Params(nEvents = n, nRepos = 200, pathsPerRepo = 100)
-    val all = EventGen.events(spark, p,
-      partitions = spark.sparkContext.defaultParallelism).toDF().cache()
-    all.count() // materialize generation outside the timed region
+    val all = spark.read.parquet(eventsDir(spark, n))
     val per = n / batches
     val t0 = System.nanoTime()
     (0 until batches).foreach { b =>
@@ -49,7 +59,6 @@ object Bench {
         all.filter(col("lsn") >= b * per && col("lsn") < hi), s"bench:$b")
     }
     val secs = (System.nanoTime() - t0) / 1e9
-    all.unpersist()
     // sanity: root table exists and is non-trivial
     val spec = Catalog.fromTree(engine.loadRegistry("repos").get)
       .find(_.isRoot).get
@@ -60,7 +69,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "40000").toLong
+    val nEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "1000000").toLong
     val batches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "4").toInt
 
     // --- per-query harness timings at full parallelism ---
@@ -77,7 +86,7 @@ object Bench {
     val lowCores = math.max(1, cpus / 4)
     spark.stop()
     spark = newSession(lowCores)
-    val warm = replay(spark, math.min(nEvents / 4, 5000), 2, 16) // JIT warm
+    val warm = replay(spark, math.min(nEvents / 4, 20000), 2, 16) // JIT warm
     val tLow = replay(spark, nEvents, batches, 32)
     spark.stop()
     spark = newSession(cpus)

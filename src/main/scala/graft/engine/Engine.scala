@@ -121,7 +121,6 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       case Some(c) => docs.withColumn("_seq", col(c).cast("long"))
       case None    => docs.withColumn("_seq", monotonically_increasing_id())
     }
-    val batchEvents = seqed.count()
 
     // per-key dedup: last write wins by event sequence (window row_number
     // over the sequence — BASELINE.json north-star requirement). The
@@ -176,8 +175,9 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
 
       val dedupedDocs = deduped.count()
       val nDel = allDeletes.map(_.count()).getOrElse(0L)
-      if (dedupedDocs == 0 && nDel == 0)
-        return ApplyStats(batchEvents, 0, 0, skipped, 0)
+      val batchEvents = dedupedDocs + nDel // applied after per-key dedup
+      if (batchEvents == 0)
+        return ApplyStats(0, 0, 0, skipped, 0)
 
       // 1-2: inference + registry widen (docMetadata/sqlMetadata stages)
       val batchTree = inferBatch(entity, deduped, docCol)
@@ -205,8 +205,15 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
         .select(col("_docid"), from_json(col(docCol), schema).as("_gdoc"))
         .persist()
 
+      // per-table merges run CONCURRENTLY (independent lake tables, like
+      // the reference's per-table DDL fan-out, sqlDDL.ts:453-480) — Spark
+      // schedules the jobs from separate threads and fills idle cores;
+      // exactly-once holds per table via the shared commit tag
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       try {
-        tables.foreach { t =>
+        val merges = tables.map { t => Future {
           val raw = Flattener.tableFrame(parsed, rootElem, tables, t,
             col("_gdoc"), withOrd = true)
           // within-doc duplicate keys: keep the last occurrence (the
@@ -219,7 +226,8 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
             .drop("_krn", "_gord")
           table(t).merge(frame, t.keyColumns, rootKeyOf(t), commitTag,
             deleteRootKeys = allDeletes)
-        }
+        }}
+        Await.result(Future.sequence(merges), Duration.Inf)
       } finally parsed.unpersist()
 
       ApplyStats(batchEvents, dedupedDocs, nDel, skipped, tables.size)

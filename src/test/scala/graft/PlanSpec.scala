@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan guards: the properties that make the harness queries
+  * scale (predicate pushdown to parquet, column pruning, broadcast of
+  * dimension tables, map-side partial aggregation, single-shuffle
+  * windows). A regression here is a silent 100×-scale performance bug
+  * even while results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q6: filters are pushed to the parquet scan") {
+    val p = plan("q6_filter_pushdown")
+    assert(p.contains("PushedFilters"))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(l_discount.*"),
+      s"discount filter not pushed:\n$p")
+  }
+
+  test("q6: scan reads only needed columns (pruning)") {
+    val p = plan("q6_filter_pushdown")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_quantity"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q3: dimension joins broadcast, fact side streams") {
+    val p = plan("q3_multi_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    // the big lineitem×orders join may be shuffle-based; dims must not be
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1: partial (map-side) aggregation before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+    // codegen: whole-stage spans confirmed via codegen explain mode
+    val cg = SparkEntry.queries("q1_agg")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen subtrees"), cg.take(200))
+  }
+
+  test("cdc_latest_per_key: exactly one exchange (the window shuffle)") {
+    val p = plan("cdc_latest_per_key")
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
+  }
+
+  test("ann_bruteforce: scan pruned to (vec_id, embedding), no UDF in scan") {
+    val df = SparkEntry.queries("ann_bruteforce")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("label"), s"pruning failed: $readSchema")
+    // cosine is pure column expressions — TakeOrderedAndProject caps the sort
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not sort-limited:\n$p")
+  }
+
+  test("dedup_exact: single shuffle with partial aggregation") {
+    val p = plan("dedup_exact")
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges == 1, s"expected 1 shuffle:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+
+  test("q5: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q5_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for limit:\n$p")
+  }
+}
