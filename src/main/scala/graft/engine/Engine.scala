@@ -192,8 +192,8 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       val tables = Catalog.fromTree(registry)
       tables.foreach { t =>
         val lake = table(t)
-        if (!lake.exists()) lake.create(t.schema, t.keyColumns)
-        else lake.evolve(t.schema, t.keyColumns)
+        if (!lake.exists()) lake.create(t.schema, t.keyColumns, rootKeyOf(t))
+        else lake.evolve(t.schema, t.keyColumns, rootKeyOf(t))
       }
 
       // 5: flatten + set-oriented merge per table, root first. The parsed

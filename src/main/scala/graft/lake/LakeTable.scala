@@ -33,6 +33,8 @@ final case class Snapshot(
     schemaVer: Int,
     schemas: Map[Int, StructType], // ver → schema (history for old files)
     keyCols: Seq[String],          // merge identity (FK chain + PK)
+    rootKey: String,               // root-document key column (bucketing,
+                                   // delete-tombstone cascade)
     segments: Seq[Segment],
     commits: Set[String],          // applied (streamId:batchId) tags
     lineage: Seq[Lineage],
@@ -75,6 +77,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
   private val snapDir: Path = dir.resolve("_snap")
   val BucketCol = "_gbucket"
   val SeqCol = "_gseq"
+  val DelCol = "_gdel" // tombstone marker (delete of a root key)
 
   // ---------- snapshot log ----------
 
@@ -111,6 +114,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       }.toMap
     }.get
     val keyCols = arr("keyCols").collect { case JStr(s) => s }
+    val rootKey = o.get("rootKey").collect { case JStr(s) => s }.getOrElse("")
     val segs = arr("segments").map {
       case seg: JObj =>
         Segment(
@@ -133,7 +137,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
           l.get("wallMs").collect { case JNum(n) => n.toLong }.getOrElse(0L))
       case _ => throw new IllegalStateException("bad lineage")
     }
-    Snapshot(v, schemaVer, schemas, keyCols, segs, commits, lineage)
+    Snapshot(v, schemaVer, schemas, keyCols, rootKey, segs, commits, lineage)
   }
 
   private def writeSnapshot(s: Snapshot): Unit = {
@@ -145,6 +149,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
         k.toString -> (JStr(v.json): JValue)
       }),
       "keyCols" -> JArr(s.keyCols.map(JStr(_): JValue).toVector),
+      "rootKey" -> JStr(s.rootKey),
       "segments" -> JArr(s.segments.map(seg => JObj(Vector(
         "path" -> JStr(seg.path), "bucket" -> JNum(seg.bucket.toString),
         "schemaVer" -> JNum(seg.schemaVer.toString),
@@ -169,21 +174,25 @@ final class LakeTable(val spark: SparkSession, val root: String,
   // ---------- DDL ----------
 
   /** Create the table (v1 snapshot, no data). No-op if it exists. */
-  def create(schema: StructType, keyCols: Seq[String]): Unit = if (!exists()) {
+  def create(schema: StructType, keyCols: Seq[String],
+      rootKey: String): Unit = if (!exists()) {
     Files.createDirectories(dir.resolve("data"))
-    writeSnapshot(Snapshot(1, 1, Map(1 -> schema), keyCols, Nil, Set.empty, Nil))
+    writeSnapshot(Snapshot(1, 1, Map(1 -> schema), keyCols, rootKey, Nil,
+      Set.empty, Nil))
   }
 
   /** Additive schema evolution (alterTables, sqlDDL.ts:27-65): commit a
     * new schema version (and refreshed key columns). Existing files keep
     * their old schema version and are cast on read. No-op when unchanged. */
-  def evolve(newSchema: StructType, keyCols: Seq[String]): Snapshot = {
+  def evolve(newSchema: StructType, keyCols: Seq[String],
+      rootKey: String): Snapshot = {
     val s = snapshot()
-    if (s.schema == newSchema && s.keyCols == keyCols) s
+    if (s.schema == newSchema && s.keyCols == keyCols && s.rootKey == rootKey) s
     else {
       val ver = if (s.schema == newSchema) s.schemaVer else s.schemaVer + 1
       val next = s.copy(version = s.version + 1, schemaVer = ver,
-        schemas = s.schemas + (ver -> newSchema), keyCols = keyCols)
+        schemas = s.schemas + (ver -> newSchema), keyCols = keyCols,
+        rootKey = rootKey)
       writeSnapshot(next)
       next
     }
@@ -202,9 +211,13 @@ final class LakeTable(val spark: SparkSession, val root: String,
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** Raw segment union (with the visibility-seq meta column), aligned. */
+  private def withMeta(t: StructType): StructType =
+    t.add(SeqCol, LongType).add(DelCol,
+      org.apache.spark.sql.types.BooleanType)
+
+  /** Raw segment union (with visibility-seq + tombstone meta), aligned. */
   private def readRaw(s: Snapshot, keep: Segment => Boolean): DataFrame = {
-    val target = s.schema.add(SeqCol, LongType)
+    val target = withMeta(s.schema)
     val live = s.segments.filter(keep)
     if (live.isEmpty) emptyDf(target)
     else {
@@ -212,7 +225,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       // then aligns to the current one (additive evolution ⇒ cast-safe)
       val parts = live.groupBy(_.schemaVer).toSeq.sortBy(_._1).map {
         case (ver, segs) =>
-          val df = spark.read.schema(s.schemas(ver).add(SeqCol, LongType))
+          val df = spark.read.schema(withMeta(s.schemas(ver)))
             .parquet(segs.map(seg => dir.resolve(seg.path).toString): _*)
           align(df, target)
       }
@@ -220,10 +233,27 @@ final class LakeTable(val spark: SparkSession, val root: String,
     }
   }
 
-  /** Merge-on-read resolution: one window on the (co-bucketed) key. Buckets
-    * holding a single base segment are already resolved and skip the
-    * window entirely — steady-state reads after compaction pay no shuffle
-    * for those buckets. */
+  /** Merge-on-read resolution over a raw (meta-carrying) frame: newest row
+    * per key, then drop rows shadowed by a newer root-key tombstone.
+    * Returns winners WITH SeqCol (caller drops or persists it). */
+  private def resolveRows(raw: DataFrame, keyCols: Seq[String],
+      rootKey: String): DataFrame = {
+    val toms = raw.filter(col(DelCol) === true)
+      .groupBy(col(rootKey)).agg(max(col(SeqCol)).as("_gdelseq"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(SeqCol).desc)
+    raw.filter(col(DelCol).isNull || !col(DelCol))
+      .withColumn("_grn", row_number().over(w))
+      .filter(col("_grn") === 1).drop("_grn")
+      .join(toms, Seq(rootKey), "left")
+      .filter(col("_gdelseq").isNull || col(SeqCol) > col("_gdelseq"))
+      .drop("_gdelseq", DelCol)
+  }
+
+  /** Merge-on-read resolution: one window on the (co-bucketed) key +
+    * tombstone anti-filter. Buckets holding a single base segment are
+    * already resolved and skip both entirely — steady-state reads after
+    * compaction pay no shuffle for those buckets. */
   private def resolve(s: Snapshot, keep: Segment => Boolean): DataFrame = {
     val perBucket = s.segments.filter(keep).groupBy(_.bucket)
     val (clean, dirty) = perBucket.partition { case (_, segs) =>
@@ -233,17 +263,11 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val dirtySegs = dirty.values.flatten.toSet
     val cleanDf =
       if (cleanSegs.isEmpty) None
-      else Some(readRaw(s, cleanSegs.contains).drop(SeqCol))
+      else Some(readRaw(s, cleanSegs.contains).drop(SeqCol, DelCol))
     val dirtyDf =
       if (dirtySegs.isEmpty) None
-      else {
-        val w = Window.partitionBy(s.keyCols.map(col): _*)
-          .orderBy(col(SeqCol).desc)
-        Some(readRaw(s, dirtySegs.contains)
-          .withColumn("_grn", row_number().over(w))
-          .filter(col("_grn") === 1)
-          .drop("_grn", SeqCol))
-      }
+      else Some(resolveRows(readRaw(s, dirtySegs.contains), s.keyCols,
+        s.rootKey).drop(SeqCol))
     (cleanDf, dirtyDf) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None)    => a
@@ -262,9 +286,11 @@ final class LakeTable(val spark: SparkSession, val root: String,
   /** Idempotent merge-on-read upsert:
     *   - `updates` rows shadow older rows with the same `keyCols`
     *     (visibility via the commit sequence column)
-    *   - rows whose `rootKeyCol` appears in `deleteRootKeys` are removed
-    *     (delete-touched buckets are compacted inline)
-    *   - buckets with ≥ maxDeltas deltas are compacted inline
+    *   - `deleteRootKeys` become TOMBSTONE rows in the same delta append —
+    *     a delete costs O(keys), never a bucket rewrite; reads drop every
+    *     row (any full key) under a newer tombstone of its root key
+    *   - buckets at the delta cap (maxDeltas) are compacted inline:
+    *     resolved to a single base segment, tombstones cleared
     *   - a `commitTag` already in the snapshot makes the call a no-op
     */
   def merge(
@@ -279,39 +305,43 @@ final class LakeTable(val spark: SparkSession, val root: String,
     if (s.commits.contains(commitTag)) return s // idempotent re-commit
 
     val target = s.schema
+    val metaTarget = withMeta(target)
     val newSeq = s.version + 1L
-    val up = align(updates.withColumn(SeqCol, lit(newSeq)),
-      target.add(SeqCol, LongType))
+    val upRows = align(updates
+      .withColumn(SeqCol, lit(newSeq))
+      .withColumn(DelCol, lit(false)), metaTarget)
+    val tombRows = deleteRootKeys.map { dk =>
+      align(dk.toDF(rootKeyCol)
+        .withColumn(SeqCol, lit(newSeq))
+        .withColumn(DelCol, lit(true)), metaTarget)
+    }
+    val up = tombRows.fold(upRows)(upRows.unionByName(_))
       .withColumn(BucketCol, bucketExpr(col(rootKeyCol)))
       .persist()
-    val delKeys = deleteRootKeys.map(_.toDF(rootKeyCol)
-      .withColumn(BucketCol, bucketExpr(col(rootKeyCol))).persist())
 
     try {
-      // touched buckets + batch sizes in ONE job per side (collect_set is
-      // a partial-aggregated ≤numBuckets-value set — no wide shuffle)
-      val upAgg = up.agg(collect_set(col(BucketCol)), count(lit(1))).head()
-      val upserted = upAgg.getLong(1)
-      val delAgg = delKeys.map(_.agg(collect_set(col(BucketCol)),
-        count(lit(1))).head())
-      val deleted = delAgg.map(_.getLong(1)).getOrElse(0L)
-      val upBuckets: Set[Int] = upAgg.getSeq[Int](0).toSet
-      val delBuckets: Set[Int] = delAgg.map(_.getSeq[Int](0).toSet)
-        .getOrElse(Set.empty)
-      val touched = upBuckets ++ delBuckets
+      // touched buckets + batch sizes in ONE job (collect_set is a
+      // partial-aggregated ≤numBuckets-value set — no wide shuffle)
+      val agg = up.agg(collect_set(col(BucketCol)),
+        count(when(!col(DelCol), 1)), count(when(col(DelCol), 1))).head()
+      val touched: Set[Int] = agg.getSeq[Int](0).toSet
+      val upserted = agg.getLong(1)
+      val deleted = agg.getLong(2)
       if (touched.isEmpty) return commitEmpty(s, commitTag, t0)
 
-      // compaction set: delete-touched buckets + buckets at the delta cap
+      // compaction set: buckets that would exceed the delta cap
       val deltaCount: Map[Int, Int] = s.segments
-        .filter(_.kind == "delta").groupBy(_.bucket).map { case (b, xs) => b -> xs.size }
-      val compact = delBuckets ++
+        .filter(_.kind == "delta").groupBy(_.bucket)
+        .map { case (b, xs) => b -> xs.size }
+      val compact =
         touched.filter(b => deltaCount.getOrElse(b, 0) >= maxDeltas - 1)
       val deltaOnly = touched -- compact
 
       val ver = s.version + 1
       var newSegs = Vector.empty[Segment]
 
-      // fast path: append one delta segment per upsert-only bucket
+      // fast path: append one delta segment (upserts + tombstones) per
+      // below-cap bucket — no existing data read, O(batch)
       if (deltaOnly.nonEmpty) {
         val rel = f"data/c$ver%05dd"
         up.filter(col(BucketCol).isin(deltaOnly.toSeq: _*))
@@ -326,20 +356,16 @@ final class LakeTable(val spark: SparkSession, val root: String,
         }
       }
 
-      // compaction path: resolve existing ∪ updates, drop deletes, rewrite
+      // compaction path: resolve existing ∪ fresh (incl. tombstones) to a
+      // single base segment per bucket; winners keep their SeqCol so later
+      // deltas still shadow correctly
       if (compact.nonEmpty) {
         val existing = readRaw(s, seg => compact.contains(seg.bucket))
         val fresh = up.filter(col(BucketCol).isin(compact.toSeq: _*))
           .drop(BucketCol)
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(SeqCol).desc)
-        var resolved = existing.unionByName(fresh)
-          .withColumn("_grn", row_number().over(w))
-          .filter(col("_grn") === 1).drop("_grn")
-        delKeys.foreach { dk =>
-          resolved = resolved.join(dk.select(rootKeyCol), Seq(rootKeyCol),
-            "left_anti")
-        }
+        val resolved =
+          resolveRows(existing.unionByName(fresh), keyCols, rootKeyCol)
+            .withColumn(DelCol, lit(false))
         val rel = f"data/c$ver%05db"
         resolved
           .withColumn(BucketCol, bucketExpr(col(rootKeyCol)))
@@ -365,10 +391,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       )
       writeSnapshot(next)
       next
-    } finally {
-      up.unpersist()
-      delKeys.foreach(_.unpersist())
-    }
+    } finally up.unpersist()
   }
 
   private def align(df: DataFrame, target: StructType): DataFrame = {
