@@ -127,12 +127,12 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     // window shuffles on the fine-grained document key, so a hot REPO
     // cannot skew a partition the way repo-partitioning would — this IS
     // the salted layout (key = repo|path|commit ≈ repo + salt).
-    val w = Window.partitionBy(idExpr).orderBy(col("_seq").desc)
+    val w = Window.partitionBy(col("_docid")).orderBy(col("_seq").desc)
     val latest = seqed
+      .withColumn("_docid", idExpr) // materialized ONCE, before the shuffle
+      .withColumn("_docrev", revExpr)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-      .withColumn("_docid", idExpr)
-      .withColumn("_docrev", revExpr)
 
     // op split AFTER dedup: the winning event's op decides upsert vs delete
     var deduped = (opCol match {
@@ -214,16 +214,22 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       import scala.concurrent.ExecutionContext.Implicits.global
       try {
         val merges = tables.map { t => Future {
+          // within-doc duplicate keys need a dedup window ONLY for ID-keyed
+          // tables under an array (two elements may share an id —
+          // reference's serial MERGE makes the last win, sqlDML.ts:519-545);
+          // root rows are unique per batch dedup and AI keys are positions
+          val needsKeyDedup = !t.isRoot && t.tablePk == "ID" &&
+            t.path.exists(_.isArray)
           val raw = Flattener.tableFrame(parsed, rootElem, tables, t,
-            col("_gdoc"), withOrd = true)
-          // within-doc duplicate keys: keep the last occurrence (the
-          // reference's serial MERGE overwrite order, sqlDML.ts:519-545)
-          val frame = raw
-            .withColumn("_krn", row_number().over(Window
-              .partitionBy(t.keyColumns.map(col): _*)
-              .orderBy(col("_gord").desc)))
-            .filter(col("_krn") === 1)
-            .drop("_krn", "_gord")
+            col("_gdoc"), withOrd = needsKeyDedup)
+          val frame =
+            if (!needsKeyDedup) raw
+            else raw
+              .withColumn("_krn", row_number().over(Window
+                .partitionBy(t.keyColumns.map(col): _*)
+                .orderBy(col("_gord").desc)))
+              .filter(col("_krn") === 1)
+              .drop("_krn", "_gord")
           table(t).merge(frame, t.keyColumns, rootKeyOf(t), commitTag,
             deleteRootKeys = allDeletes)
         }}
