@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = 32 executor threads in ONE JVM. Keep the heap BELOW the
+  // 32 GiB compressed-oops cliff: measured 15x slowdown of the pointer-
+  // heavy ingest path at 48g (uncompressed oops) vs 8-16g
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

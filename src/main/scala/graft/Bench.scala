@@ -69,8 +69,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "1000000").toLong
-    val batches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "4").toInt
+    // batch size matters: a 1000-executor cluster feeds millions of events
+    // per micro-batch, so per-batch compute must dominate the fixed
+    // per-batch cost (driver planning + job scheduling) for the scaling
+    // measurement to be meaningful
+    val nEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "4000000").toLong
+    val batches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "2").toInt
 
     // --- per-query harness timings at full parallelism ---
     var spark = newSession(cpus)
@@ -82,15 +86,23 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
-    // --- CDC replay at N/4 cores then N cores (scaling evidence) ---
+    // --- CDC replay at N/4 cores vs N cores (scaling evidence) ---
+    // interleaved best-of-2 per level: the sandbox host shows intermittent
+    // CPU steal, so a single sample per level is unreliable
     val lowCores = math.max(1, cpus / 4)
     spark.stop()
-    spark = newSession(lowCores)
-    val warm = replay(spark, math.min(nEvents / 4, 20000), 2, 16) // JIT warm
-    val tLow = replay(spark, nEvents, batches, 32)
-    spark.stop()
     spark = newSession(cpus)
-    val tHigh = replay(spark, nEvents, batches, 32)
+    val warm = replay(spark, math.min(nEvents / 4, 50000), 2, 16) // JIT warm
+    var tLow = Double.MaxValue
+    var tHigh = Double.MaxValue
+    (0 until 2).foreach { _ =>
+      spark.stop()
+      spark = newSession(lowCores)
+      tLow = math.min(tLow, replay(spark, nEvents, batches, 32))
+      spark.stop()
+      spark = newSession(cpus)
+      tHigh = math.min(tHigh, replay(spark, nEvents, batches, 32))
+    }
     val epsLow = nEvents / tLow
     val epsHigh = nEvents / tHigh
     val efficiency = epsHigh / (4.0 * epsLow)

@@ -80,6 +80,18 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
     }),
+    "cdc_salted_agg" -> ((s, dir) => {
+      // hot-key salting pattern (north rule): two-phase aggregation —
+      // partial agg on (key, salt) spreads a hot key over S partitions,
+      // final agg on key alone; result identical to a direct groupBy
+      val salted = t(s, dir, "events")
+        .withColumn("_salt", pmod(xxhash64(col("event_id")), lit(8)))
+      salted
+        .groupBy("user_id", "_salt")
+        .agg(count(lit(1)).as("c"), sum("value").as("v"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n_events"), round(sum("v"), 2).as("sum_value"))
+    }),
     "cdc_dedup_window" -> ((s, dir) => {
       // per-key dedup keeping first occurrence of each (user_id,event_type)
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -196,8 +208,8 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.langIdUdf(col("text")).as("pred_lang"))),
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.fingerprintUdf(col("text"))
-          .as("fingerprint"))),
+        .select(col("doc_id"), graft.functions.expressions
+          .fingerprint64(col("text")).as("fingerprint"))),
 
     // ---- multimodal plumbing (synthetic payloads; decode stubbed) ----
     "mm_decode" -> ((s, dir) => {
@@ -248,6 +260,10 @@ object SparkEntry {
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "cdc_salted_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin,
     "cdc_dedup_window" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS distinct_types
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type

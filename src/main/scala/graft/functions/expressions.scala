@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot-path text digests.
+  *
+  * A Scala UDF pays per-row closure dispatch + UTF8String→String→result
+  * conversion through the encoder layer and blocks expression-level
+  * null-short-circuiting; a native `UnaryExpression` with `doGenCode`
+  * stays inside whole-stage codegen (one static call on the already-null-
+  * checked input). These are the only compute-dense scalar kernels in the
+  * ops layer — everything else uses built-in `functions._`.
+  */
+final case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ops.Dedup.simhash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Dedup.simhash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Rolling-hash winnowed fingerprint (see [[graft.ops.TextOps.fingerprintOf]]). */
+final case class Fingerprint64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ops.TextOps.fingerprintOf(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.TextOps.fingerprintOf($c.toString(), 8, 16)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+}
+
+object expressions {
+  import org.apache.spark.sql.GraftBridge
+  def simhash64(c: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+  def fingerprint64(c: Column): Column =
+    GraftBridge.column(Fingerprint64(GraftBridge.expression(c)))
+
+  /** SQL registration: `SELECT simhash64(text), fingerprint64(text) ...` */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
+  }
+}

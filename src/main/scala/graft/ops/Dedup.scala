@@ -176,7 +176,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val hdUdf = udf((a: Long, b: Long) => hamming(a, b))
-    val sh = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sh"))
+    // native codegen'd expression — no UDF in the scan
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.expressions.simhash64(col(textCol)).as("sh"))
     val banded = sh.select(col("id"), col("sh"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*

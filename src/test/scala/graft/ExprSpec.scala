@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions
+import graft.ops.{Dedup, TextOps}
+
+/** Native Catalyst expressions: value parity with the Scala kernels,
+  * SQL registration, null propagation, codegen compatibility. */
+class ExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "spark merge join filter window aggregate",
+    "", "a b a b a b")
+
+  test("simhash64 / fingerprint64 match their Scala kernels") {
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "t")
+    val rows = df.select(col("id"),
+      expressions.simhash64(col("t")).as("sh"),
+      expressions.fingerprint64(col("t")).as("fp"))
+      .orderBy("id").collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(rows(i).getAs[Long]("sh") == Dedup.simhash(t))
+      assert(rows(i).getAs[Long]("fp") == TextOps.fingerprintOf(t))
+    }
+  }
+
+  test("null propagates (UnaryExpression null-intolerance)") {
+    val df = Seq(Some("x y z"), None).toDF("t")
+    val out = df.select(expressions.simhash64(col("t")).as("sh")).collect()
+    assert(out.exists(_.isNullAt(0)))
+    assert(out.exists(!_.isNullAt(0)))
+  }
+
+  test("SQL registration + codegen execution over a real scan") {
+    expressions.registerAll(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("g_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash64(text) AS sh, fingerprint64(text) AS fp " +
+        "FROM g_docs ORDER BY doc_id LIMIT 5").collect()
+    val direct = docs.select(col("doc_id"),
+      expressions.simhash64(col("text")).as("sh"),
+      expressions.fingerprint64(col("text")).as("fp"))
+      .orderBy("doc_id").limit(5).collect()
+    assert(viaSql.map(_.toString).toSeq == direct.map(_.toString).toSeq)
+    // the expression stays inside the codegen'd project (no BatchEvalPython
+    // / ScalaUDF node)
+    val plan = docs.select(expressions.simhash64(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+}
