@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.LakeTable
+
+/** LakeTable unit behavior: merge-on-read visibility, tombstones,
+  * reinsert-after-delete, delta-cap compaction, schema evolution across
+  * mixed-version segments, exactly-once commit tags. */
+class LakeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("ID", StringType, nullable = false),
+    StructField("V", StringType, nullable = true)))
+
+  private def newTable(maxDeltas: Int = 4): LakeTable = {
+    val t = new LakeTable(spark, SparkTestSession.tmpDir("graft-lakespec-"),
+      "T", numBuckets = 4, maxDeltas = maxDeltas)
+    t.create(schema, Seq("ID"), "ID")
+    t
+  }
+
+  private def df(rows: (String, String)*) = rows.toDF("ID", "V")
+
+  test("upsert visibility: newest commit wins per key") {
+    val t = newTable()
+    t.merge(df("a" -> "1", "b" -> "1"), Seq("ID"), "ID", "c1")
+    t.merge(df("a" -> "2"), Seq("ID"), "ID", "c2")
+    val got = t.read().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "2", "b" -> "1"))
+  }
+
+  test("tombstones delete across deltas; reinsert after delete works") {
+    val t = newTable()
+    t.merge(df("a" -> "1", "b" -> "1"), Seq("ID"), "ID", "c1")
+    t.merge(df(), Seq("ID"), "ID", "c2",
+      deleteRootKeys = Some(Seq("a").toDF("ID")))
+    assert(t.read().collect().map(_.getString(0)).toSeq == Seq("b"))
+    // reinsert with a NEWER seq than the tombstone → visible again
+    t.merge(df("a" -> "3"), Seq("ID"), "ID", "c3")
+    val got = t.read().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "3", "b" -> "1"))
+  }
+
+  test("delta-cap compaction: buckets collapse to a single base, state intact") {
+    val t = newTable(maxDeltas = 3)
+    (1 to 8).foreach { i =>
+      t.merge(df("k" -> i.toString, s"x$i" -> "v"), Seq("ID"), "ID", s"c$i")
+    }
+    val s = t.snapshot()
+    // compaction fired: no bucket holds ≥ maxDeltas deltas
+    val deltasPerBucket = s.segments.filter(_.kind == "delta")
+      .groupBy(_.bucket).map(_._2.size)
+    assert(deltasPerBucket.forall(_ < 3), s.segments.toString)
+    assert(s.segments.exists(_.kind == "base"))
+    assert(s.lineage.exists(_.compacted.nonEmpty))
+    val got = t.read().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("k") == "8") // newest wins through base+delta mix
+    assert(got.size == 9)   // k + x1..x8
+  }
+
+  test("tombstone survives compaction correctly (delete then compact then read)") {
+    val t = newTable(maxDeltas = 3)
+    t.merge(df("a" -> "1", "b" -> "1"), Seq("ID"), "ID", "c1")
+    t.merge(df("c" -> "1"), Seq("ID"), "ID", "c2",
+      deleteRootKeys = Some(Seq("a").toDF("ID")))
+    // force compaction with more merges
+    (3 to 7).foreach(i => t.merge(df(s"z$i" -> "v"), Seq("ID"), "ID", s"c$i"))
+    val ids = t.read().collect().map(_.getString(0)).toSet
+    assert(!ids.contains("a"))
+    assert(ids.contains("b") && ids.contains("c"))
+  }
+
+  test("schema evolution: mixed-version segments align on read") {
+    val t = newTable()
+    t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
+    val wider = StructType(schema.fields :+ StructField("W", IntegerType, nullable = true))
+    t.evolve(wider, Seq("ID"), "ID")
+    t.merge(Seq(("b", "2", 7)).toDF("ID", "V", "W"), Seq("ID"), "ID", "c2")
+    val got = t.read().orderBy("ID").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(got(0).isNullAt(2)) // old segment null-filled for W
+    assert(got(1).getInt(2) == 7)
+  }
+
+  test("exactly-once: same tag re-merge is a no-op; different tag applies") {
+    val t = newTable()
+    t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
+    t.merge(df("a" -> "X"), Seq("ID"), "ID", "c1") // retry with same tag
+    assert(t.read().collect().head.getString(1) == "1")
+    assert(t.snapshot().commits == Set("c1"))
+  }
+}
