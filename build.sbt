@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[...] (real executor JVMs — the scaling-evidence mode)
+// needs these to launch executors from the forked runner
+run / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13",
+)
+Test / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13",
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

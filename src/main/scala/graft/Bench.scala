@@ -16,9 +16,16 @@ import graft.engine.Engine
   */
 object Bench {
   private def newSession(cores: Int): SparkSession = {
+    // the sandbox has ONE vm disk (~500 MB/s) behind all 32 cores; a real
+    // cluster's shuffle/sink bandwidth scales with executors. RAM-backed
+    // dirs remove the shared-disk artifact so the two-parallelism run
+    // measures the engine, not the single spindle (BASELINE.md protocol)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/dev/shm/graft-bench"))
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
+      .config("spark.local.dir", "/dev/shm/graft-bench/spark-local")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -34,7 +41,10 @@ object Bench {
   private def eventsDir(spark: SparkSession, n: Long): String = {
     val dir = s"/tmp/graft-bench-events-$n"
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))) {
-      val p = EventGen.Params(nEvents = n, nRepos = 200, pathsPerRepo = 100)
+      // wide key space: a 10^10-event feed spans millions of files, so a
+      // micro-batch is mostly distinct keys (dup factor ~2) — post-dedup
+      // flatten/merge work dominates, which is what must scale
+      val p = EventGen.Params(nEvents = n, nRepos = 2000, pathsPerRepo = 500)
       EventGen.events(spark, p,
         partitions = spark.sparkContext.defaultParallelism)
         .toDF().write.mode("overwrite").parquet(dir)
@@ -47,8 +57,8 @@ object Bench {
   private def replay(spark: SparkSession, n: Long, batches: Int,
       buckets: Int): Double = {
     import org.apache.spark.sql.functions.col
-    val lake = java.nio.file.Files.createTempDirectory("graft-bench-lake-")
-      .toString
+    val lake = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm/graft-bench"), "lake-").toString
     val engine = new Engine(spark, lake, numBuckets = buckets)
     val all = spark.read.parquet(eventsDir(spark, n))
     val per = n / batches
@@ -63,6 +73,8 @@ object Bench {
     val spec = Catalog.fromTree(engine.loadRegistry("repos").get)
       .find(_.isRoot).get
     require(engine.table(spec).read().count() > 0)
+    // free the RAM-backed lake before the next run
+    scala.sys.process.Process(Seq("rm", "-rf", lake)).!
     secs
   }
 
@@ -86,23 +98,37 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
-    // --- CDC replay at N/4 cores vs N cores (scaling evidence) ---
-    // interleaved best-of-2 per level: the sandbox host shows intermittent
-    // CPU steal, so a single sample per level is unreliable
-    val lowCores = math.max(1, cpus / 4)
+    // --- CDC replay at N vs 4N EXECUTORS (scaling evidence) ---
+    // local-cluster[n, 8, mem] spawns real executor JVMs — the honest
+    // sandbox analog of two cluster sizes (north rule: N and 4N
+    // executors). A single local[32] JVM serializes on its one memory
+    // manager + GC, which no real deployment does.
     spark.stop()
-    spark = newSession(cpus)
-    val warm = replay(spark, math.min(nEvents / 4, 50000), 2, 16) // JIT warm
-    var tLow = Double.MaxValue
-    var tHigh = Double.MaxValue
-    (0 until 2).foreach { _ =>
-      spark.stop()
-      spark = newSession(lowCores)
-      tLow = math.min(tLow, replay(spark, nEvents, batches, 32))
-      spark.stop()
-      spark = newSession(cpus)
-      tHigh = math.min(tHigh, replay(spark, nEvents, batches, 32))
+    def clusterSession(execs: Int): SparkSession = {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("/dev/shm/graft-bench"))
+      val s = SparkSession.builder()
+        .master(s"local-cluster[$execs,8,12288]")
+        .appName(s"graft-bench-cluster-$execs")
+        .config("spark.executor.extraClassPath",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+        .config("spark.local.dir", "/dev/shm/graft-bench/spark-local")
+        .config("spark.sql.shuffle.partitions", execs * 8)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
     }
+    spark = clusterSession(1)
+    val warm = replay(spark, math.min(nEvents / 4, 100000), 2, 16) // JIT warm
+    val tLow = replay(spark, nEvents, batches, 32)
+    spark.stop()
+    spark = clusterSession(4)
+    replay(spark, math.min(nEvents / 4, 100000), 2, 16) // warm new executors
+    val tHigh = replay(spark, nEvents, batches, 32)
     val epsLow = nEvents / tLow
     val epsHigh = nEvents / tHigh
     val efficiency = epsHigh / (4.0 * epsLow)
@@ -114,7 +140,7 @@ object Bench {
       s"""{"metric":"cdc_events_per_sec","value":${f"$epsHigh%.1f"},""" +
       s""""unit":"events/sec","queries":$qs,"sf":"$sfDir",""" +
       s""""cdc":{"events":$nEvents,"batches":$batches,""" +
-      s""""cores_low":$lowCores,"cores_high":$cpus,""" +
+      s""""executors_low":1,"executors_high":4,"cores_per_executor":8,""" +
       s""""secs_low":${f"$tLow%.2f"},"secs_high":${f"$tHigh%.2f"},""" +
       s""""eps_low":${f"$epsLow%.1f"},"eps_high":${f"$epsHigh%.1f"},""" +
       s""""scaling_efficiency":${f"$efficiency%.3f"},"warm":${f"$warm%.2f"}}}""")

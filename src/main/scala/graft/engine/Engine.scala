@@ -82,12 +82,16 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
   def inferBatch(entity: String, docs: DataFrame, docCol: String): Attr = {
     import spark.implicits._
     val strings = docs.select(col(docCol).cast("string")).as[String]
-    strings.rdd
+    val partials = strings.rdd
       .mapPartitions { it =>
-        Iterator.single(Infer.analyzeDocuments(entity,
-          it.flatMap(s => Json.parseOpt(s))))
+        val t = Infer.analyzeDocuments(entity, it.flatMap(s => Json.parseOpt(s)))
+        // skip doc-less partitions so treeReduce never sees an empty RDD
+        if (t.attributes(entity).dataType == graft.schema.DType.Unknown)
+          Iterator.empty
+        else Iterator.single(t)
       }
-      .treeReduce(Infer.mergeInto)
+    if (partials.isEmpty()) Infer.analyzeDocuments(entity, Nil)
+    else partials.treeReduce(Infer.mergeInto)
   }
 
   def table(t: TableSpec): LakeTable =
@@ -122,11 +126,17 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       case None    => docs.withColumn("_seq", monotonically_increasing_id())
     }
 
-    // per-key dedup: last write wins by event sequence (window row_number
-    // over the sequence — BASELINE.json north-star requirement). The
-    // window shuffles on the fine-grained document key, so a hot REPO
-    // cannot skew a partition the way repo-partitioning would — this IS
-    // the salted layout (key = repo|path|commit ≈ repo + salt).
+    // Last-write-wins per key (BASELINE.json north-star): one row_number
+    // window over the event sequence dedups WITHIN the batch (real CDC
+    // batches carry many versions per hot key — dedup here shrinks all
+    // downstream flatten/write work by that factor). With a monotone
+    // seqCol (the WAL lsn) the winner's lsn also becomes the row's lake
+    // visibility seq, so LWW holds ACROSS batches even for late/out-of-
+    // order deliveries, and re-applying events is idempotent by content.
+    // The window shuffles on the fine-grained document key
+    // (repo|path|commit), so a hot REPO cannot skew a partition — the
+    // salted layout with a semantic salt.
+    val monotoneSeq = seqCol.isDefined
     val w = Window.partitionBy(col("_docid")).orderBy(col("_seq").desc)
     val latest = seqed
       .withColumn("_docid", idExpr) // materialized ONCE, before the shuffle
@@ -134,17 +144,22 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
 
-    // op split AFTER dedup: the winning event's op decides upsert vs delete
+    // op split: upserts vs delete tombstones (each keeps its event seq)
     var deduped = (opCol match {
       case Some(c) => latest.filter(col(c) =!= "delete")
       case None    => latest
     }).persist()
     val delFromOps: Option[DataFrame] = opCol.map { c =>
-      latest.filter(col(c) === "delete").select(col("_docid")).persist()
+      latest.filter(col(c) === "delete")
+        .select(col("_docid"), col("_seq")).persist()
     }
     val allDeletes: Option[DataFrame] = (deleteIds, delFromOps) match {
-      case (Some(a), Some(b)) => Some(a.toDF("_docid").unionByName(b))
-      case (a, b)             => a.orElse(b)
+      case (Some(a), Some(b)) =>
+        Some(a.toDF("_docid").withColumn("_seq", lit(null).cast("long"))
+          .unionByName(b))
+      case (Some(a), None) =>
+        Some(a.toDF("_docid").withColumn("_seq", lit(null).cast("long")))
+      case (None, b) => b
     }
 
     try {
@@ -202,7 +217,8 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       val rootElem = registry.attributes(registry.name)
       val schema = Flattener.readSchema(rootElem)
       val parsed = deduped
-        .select(col("_docid"), from_json(col(docCol), schema).as("_gdoc"))
+        .select(col("_docid"), col("_seq"),
+          from_json(col(docCol), schema).as("_gdoc"))
         .persist()
 
       // per-table merges run CONCURRENTLY (independent lake tables, like
@@ -213,7 +229,8 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       try {
-        val merges = tables.map { t => Future {
+        val parallelMerge = sys.env.getOrElse("GRAFT_PAR_MERGE", "1") != "0"
+        def mergeOne(t: TableSpec): Unit = {
           // within-doc duplicate keys need a dedup window ONLY for ID-keyed
           // tables under an array (two elements may share an id —
           // reference's serial MERGE makes the last win, sqlDML.ts:519-545);
@@ -221,19 +238,24 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
           val needsKeyDedup = !t.isRoot && t.tablePk == "ID" &&
             t.path.exists(_.isArray)
           val raw = Flattener.tableFrame(parsed, rootElem, tables, t,
-            col("_gdoc"), withOrd = needsKeyDedup)
+            col("_gdoc"), extraCols = Seq("_seq"), withOrd = needsKeyDedup)
           val frame =
             if (!needsKeyDedup) raw
             else raw
               .withColumn("_krn", row_number().over(Window
                 .partitionBy(t.keyColumns.map(col): _*)
-                .orderBy(col("_gord").desc)))
+                .orderBy(col("_seq").desc, col("_gord").desc)))
               .filter(col("_krn") === 1)
               .drop("_krn", "_gord")
           table(t).merge(frame, t.keyColumns, rootKeyOf(t), commitTag,
-            deleteRootKeys = allDeletes)
-        }}
-        Await.result(Future.sequence(merges), Duration.Inf)
+            deleteRootKeys = allDeletes,
+            rowSeqCol = if (monotoneSeq) Some("_seq") else None)
+          ()
+        }
+        if (parallelMerge)
+          Await.result(Future.sequence(tables.map(t => Future(mergeOne(t)))),
+            Duration.Inf)
+        else tables.foreach(mergeOne)
       } finally parsed.unpersist()
 
       ApplyStats(batchEvents, dedupedDocs, nDel, skipped, tables.size)

@@ -299,6 +299,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       rootKeyCol: String,
       commitTag: String,
       deleteRootKeys: Option[DataFrame] = None,
+      rowSeqCol: Option[String] = None,
   ): Snapshot = {
     val t0 = System.nanoTime()
     val s = snapshot()
@@ -307,12 +308,27 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val target = s.schema
     val metaTarget = withMeta(target)
     val newSeq = s.version + 1L
+    // row visibility seq: the caller's monotone event sequence (CDC lsn —
+    // exact global LWW, late events can't clobber newer rows) or the
+    // commit seq (batch-granular)
+    val seqOf: DataFrame => org.apache.spark.sql.Column = df =>
+      rowSeqCol.filter(df.columns.contains)
+        .map(c => coalesce(col(c).cast(LongType), lit(newSeq)))
+        .getOrElse(lit(newSeq))
     val upRows = align(updates
-      .withColumn(SeqCol, lit(newSeq))
+      .withColumn(SeqCol, seqOf(updates))
       .withColumn(DelCol, lit(false)), metaTarget)
     val tombRows = deleteRootKeys.map { dk =>
-      align(dk.toDF(rootKeyCol)
-        .withColumn(SeqCol, lit(newSeq))
+      // delete-key frame: first column = root key, optional second = seq
+      val named =
+        if (dk.columns.length >= 2) dk.toDF(rootKeyCol +: dk.columns.tail.toSeq: _*)
+        else dk.toDF(rootKeyCol)
+      val seqExpr =
+        if (named.columns.length >= 2)
+          coalesce(col(named.columns(1)).cast(LongType), lit(newSeq))
+        else lit(newSeq)
+      align(named
+        .withColumn(SeqCol, seqExpr)
         .withColumn(DelCol, lit(true)), metaTarget)
     }
     val up = tombRows.fold(upRows)(upRows.unionByName(_))

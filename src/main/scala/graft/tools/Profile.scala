@@ -12,8 +12,11 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(250000L)
     val cores = args.lift(1).map(_.toInt).getOrElse(32)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/dev/shm/graft-bench"))
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
+      .config("spark.local.dir", "/dev/shm/graft-bench/spark-local")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -29,8 +32,8 @@ object Profile {
       r
     }
 
-    val p = EventGen.Params(nEvents = n, nRepos = 200, pathsPerRepo = 100)
-    val dir = s"/tmp/graft-prof-events-$n"
+    val p = EventGen.Params(nEvents = n, nRepos = 2000, pathsPerRepo = 500)
+    val dir = s"/tmp/graft-prof-events2-$n"
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
       EventGen.events(spark, p, cores).toDF()
         .write.mode("overwrite").parquet(dir)
@@ -79,10 +82,46 @@ object Profile {
     }
 
     // and one full applyEvents for comparison (fresh lake)
-    val lake2 = java.nio.file.Files.createTempDirectory("graft-prof-lake2-").toString
+    val lake2 = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm/graft-bench"), "prof-lake2-").toString
     val engine2 = new Engine(spark, lake2, numBuckets = 32)
+
+    // task-level accounting: is the wall time CPU, GC, shuffle, or idle?
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val shufR = new java.util.concurrent.atomic.AtomicLong
+    val shufW = new java.util.concurrent.atomic.AtomicLong
+    val nTasks = new java.util.concurrent.atomic.AtomicLong
+    val deserMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            runMs.addAndGet(m.executorRunTime)
+            cpuMs.addAndGet(m.executorCpuTime / 1000000)
+            gcMs.addAndGet(m.jvmGCTime)
+            deserMs.addAndGet(m.executorDeserializeTime)
+            shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            nTasks.incrementAndGet()
+          }
+        }
+      })
+
     timed("full applyEvents")(engine2.applyEvents("repos", all, "prof:0"))
-    timed("second applyEvents (steady)")(engine2.applyEvents("repos", all, "prof:1"))
+    Seq(runMs, cpuMs, gcMs, shufR, shufW, nTasks, deserMs).foreach(_.set(0))
+    val wall0 = System.nanoTime()
+    engine2.applyEvents("repos", all, "prof:1")
+    val wallS = (System.nanoTime() - wall0) / 1e9
+    println(f"[profile] second applyEvents (steady) $wallS%8.2f s")
+    println(f"[metrics] tasks=${nTasks.get} run=${runMs.get / 1000.0}%.1fs " +
+      f"cpu=${cpuMs.get / 1000.0}%.1fs gc=${gcMs.get / 1000.0}%.1fs " +
+      f"deser=${deserMs.get / 1000.0}%.1fs " +
+      f"busy-cores=${runMs.get / 1000.0 / wallS}%.1f " +
+      f"shufR=${shufR.get / 1e6}%.0fMB shufW=${shufW.get / 1e6}%.0fMB")
 
     spark.stop()
   }
