@@ -86,7 +86,7 @@ object Bench {
     // per-batch cost (driver planning + job scheduling) for the scaling
     // measurement to be meaningful
     val nEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "4000000").toLong
-    val batches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "2").toInt
+    val batches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "1").toInt
 
     // --- per-query harness timings at full parallelism ---
     var spark = newSession(cpus)

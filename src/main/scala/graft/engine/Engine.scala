@@ -138,20 +138,24 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     // salted layout with a semantic salt.
     val monotoneSeq = seqCol.isDefined
     val w = Window.partitionBy(col("_docid")).orderBy(col("_seq").desc)
+    // ONE persisted dedup result: upserts and deletes are both cheap
+    // filters over this cache (persisting each separately would run the
+    // window shuffle twice per batch)
     val latest = seqed
       .withColumn("_docid", idExpr) // materialized ONCE, before the shuffle
       .withColumn("_docrev", revExpr)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+      .persist()
 
     // op split: upserts vs delete tombstones (each keeps its event seq)
-    var deduped = (opCol match {
+    var deduped = opCol match {
       case Some(c) => latest.filter(col(c) =!= "delete")
       case None    => latest
-    }).persist()
+    }
     val delFromOps: Option[DataFrame] = opCol.map { c =>
       latest.filter(col(c) === "delete")
-        .select(col("_docid"), col("_seq")).persist()
+        .select(col("_docid"), col("_seq"))
     }
     val allDeletes: Option[DataFrame] = (deleteIds, delFromOps) match {
       case (Some(a), Some(b)) =>
@@ -260,8 +264,8 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
 
       ApplyStats(batchEvents, dedupedDocs, nDel, skipped, tables.size)
     } finally {
-      deduped.unpersist()
-      delFromOps.foreach(_.unpersist())
+      latest.unpersist()
+      deduped.unpersist() // no-op unless incr swapped in a persisted frame
     }
   }
 
