@@ -85,7 +85,7 @@ object Bench {
     // per micro-batch, so per-batch compute must dominate the fixed
     // per-batch cost (driver planning + job scheduling) for the scaling
     // measurement to be meaningful
-    val nEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "4000000").toLong
+    val nEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "2000000").toLong
     val batches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "1").toInt
 
     // --- per-query harness timings at full parallelism ---
@@ -110,7 +110,9 @@ object Bench {
       val s = SparkSession.builder()
         .master(s"local-cluster[$execs,8,12288]")
         .appName(s"graft-bench-cluster-$execs")
-        .config("spark.executor.extraClassPath",
+        .config("spark.executor.memory", sys.env.getOrElse("GRAFT_EXEC_MEM", "2g")) // heap ≠ worker capacity!
+      .config("spark.locality.wait", "0s") // don't idle waiting for cache-local slots
+      .config("spark.executor.extraClassPath",
           new java.io.File("target/scala-2.13/classes").getAbsolutePath)
         .config("spark.local.dir", "/dev/shm/graft-bench/spark-local")
         .config("spark.sql.shuffle.partitions", execs * 8)
@@ -140,7 +142,7 @@ object Bench {
       s"""{"metric":"cdc_events_per_sec","value":${f"$epsHigh%.1f"},""" +
       s""""unit":"events/sec","queries":$qs,"sf":"$sfDir",""" +
       s""""cdc":{"events":$nEvents,"batches":$batches,""" +
-      s""""executors_low":1,"executors_high":4,"cores_per_executor":8,""" +
+      s""""executors_low":1,"executors_high":4,"cores_per_executor":$execCores,""" +
       s""""secs_low":${f"$tLow%.2f"},"secs_high":${f"$tHigh%.2f"},""" +
       s""""eps_low":${f"$epsLow%.1f"},"eps_high":${f"$epsHigh%.1f"},""" +
       s""""scaling_efficiency":${f"$efficiency%.3f"},"warm":${f"$warm%.2f"}}}""")
