@@ -99,26 +99,35 @@ object Bench {
     }
 
     // --- CDC replay at N vs 4N EXECUTORS (scaling evidence) ---
-    // local-cluster[n, 8, mem] spawns real executor JVMs — the honest
-    // sandbox analog of two cluster sizes (north rule: N and 4N
-    // executors). A single local[32] JVM serializes on its one memory
-    // manager + GC, which no real deployment does.
+    // local-cluster spawns real executor JVMs — the honest sandbox analog
+    // of two cluster sizes (north rule: N and 4N executors). Executor
+    // sizing 2 cores / 3g: on this single box the JSON/UTF8-heavy
+    // pipeline saturates memory bandwidth around ~8-16 threads (beyond
+    // that, executorCpuTime per unit work inflates ~1.5x even across
+    // separate executor JVMs, while pure-ALU jobs keep scaling —
+    // graft.tools.ScaleCheck); a real cluster adds bandwidth with every
+    // node. Below saturation both levels run fully cpu-busy with
+    // run≈cpu, so the measurement reflects the ENGINE's parallel
+    // behavior. AQE off here: per-stage materialization barriers
+    // dominate at miniature batch sizes (it stays ON for the harness).
     spark.stop()
+    val execCores = sys.env.getOrElse("GRAFT_EXEC_CORES", "2").toInt
     def clusterSession(execs: Int): SparkSession = {
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("/dev/shm/graft-bench"))
       val s = SparkSession.builder()
-        .master(s"local-cluster[$execs,8,12288]")
+        .master(s"local-cluster[$execs,$execCores,12288]")
         .appName(s"graft-bench-cluster-$execs")
-        .config("spark.executor.memory", sys.env.getOrElse("GRAFT_EXEC_MEM", "2g")) // heap ≠ worker capacity!
-      .config("spark.locality.wait", "0s") // don't idle waiting for cache-local slots
-      .config("spark.executor.extraClassPath",
+        .config("spark.executor.memory",
+          sys.env.getOrElse("GRAFT_EXEC_MEM", "3g")) // heap ≠ worker capacity
+        .config("spark.locality.wait", "0s") // don't idle for cache-local slots
+        .config("spark.executor.extraClassPath",
           new java.io.File("target/scala-2.13/classes").getAbsolutePath)
         .config("spark.local.dir", "/dev/shm/graft-bench/spark-local")
-        .config("spark.sql.shuffle.partitions", execs * 8)
+        .config("spark.sql.shuffle.partitions", execs * execCores * 2)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
