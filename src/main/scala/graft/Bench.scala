@@ -133,17 +133,26 @@ object Bench {
       s.sparkContext.setLogLevel("ERROR")
       s
     }
-    spark = clusterSession(1)
-    val warm = replay(spark, math.min(nEvents / 4, 100000), 2, 16) // JIT warm
-    val tLow = replay(spark, nEvents, batches, 32)
-    spark.stop()
-    spark = clusterSession(4)
-    replay(spark, math.min(nEvents / 4, 100000), 2, 16) // warm new executors
-    val tHigh = replay(spark, nEvents, batches, 32)
+    // interleaved best-of-2 per level — the sandbox host shows
+    // intermittent CPU steal, so single samples are unreliable
+    var tLow = Double.MaxValue
+    var tHigh = Double.MaxValue
+    var warm = 0.0
+    (0 until 2).foreach { round =>
+      spark = clusterSession(1)
+      if (round == 0)
+        warm = replay(spark, math.min(nEvents / 4, 100000), 2, 16) // JIT warm
+      tLow = math.min(tLow, replay(spark, nEvents, batches, 32))
+      spark.stop()
+      spark = clusterSession(4)
+      if (round == 0)
+        replay(spark, math.min(nEvents / 4, 100000), 2, 16) // warm executors
+      tHigh = math.min(tHigh, replay(spark, nEvents, batches, 32))
+      spark.stop()
+    }
     val epsLow = nEvents / tLow
     val epsHigh = nEvents / tHigh
     val efficiency = epsHigh / (4.0 * epsLow)
-    spark.stop()
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
