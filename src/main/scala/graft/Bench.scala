@@ -134,11 +134,16 @@ object Bench {
       s
     }
     // interleaved best-of-2 per level — the sandbox host shows
-    // intermittent CPU steal, so single samples are unreliable
+    // intermittent CPU steal, so single samples are unreliable. A time
+    // budget skips round 2 rather than risking the harness timeout.
+    val benchT0 = System.nanoTime()
+    val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "420").toInt
     var tLow = Double.MaxValue
     var tHigh = Double.MaxValue
     var warm = 0.0
     (0 until 2).foreach { round =>
+      if (round > 0 && (System.nanoTime() - benchT0) / 1e9 > budgetSecs) ()
+      else {
       spark = clusterSession(1)
       if (round == 0)
         warm = replay(spark, math.min(nEvents / 4, 100000), 2, 16) // JIT warm
@@ -149,6 +154,7 @@ object Bench {
         replay(spark, math.min(nEvents / 4, 100000), 2, 16) // warm executors
       tHigh = math.min(tHigh, replay(spark, nEvents, batches, 32))
       spark.stop()
+      }
     }
     val epsLow = nEvents / tLow
     val epsHigh = nEvents / tHigh

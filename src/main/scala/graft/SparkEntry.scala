@@ -153,6 +153,20 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"), count(lit(1)).as("n"))),
 
+    "q7_setops" -> ((s, dir) => {
+      // set ops (SURVEY §2.5): purchasers who never hit an error
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+        .except(ev.filter(col("event_type") === "error")
+          .select("user_id").distinct())
+    }),
+    "q8_semi_join" -> ((s, dir) =>
+      // EXISTS / left-semi (SURVEY §2.5)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 200000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
     // ---- training-data ops: dedup family ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -309,6 +323,14 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
         |GROUP BY l_returnflag""".stripMargin,
+    "q7_setops" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "q8_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
         |  CAST(count(*) AS BIGINT) AS copies
