@@ -8,13 +8,32 @@ import graft.engine.Engine
 
 /** Benchmark main (driver-run per round → BENCH_r{N}.json).
   *
-  * Headline metric (BASELINE.md): sustained change-events/sec applied by
-  * the CDC engine (full replay → final state), plus throughput at two
-  * parallelism levels (N and 4N cores on the same input — the sandbox
-  * evidence protocol for the north rule's two-cluster-size criterion)
-  * and the per-query wall times of the SparkEntry harness.
+  * Headline metric (BENCH.md / BASELINE.md): sustained change-events/sec
+  * applied by the CDC engine (full replay → final state) at two cluster
+  * sizes — N vs 4N real executor JVMs via local-cluster, the sandbox
+  * evidence protocol for the north rule's two-cluster-size criterion —
+  * plus the per-query wall times of the SparkEntry harness.
   */
 object Bench {
+  /** local-cluster executor launch needs SPARK_HOME/SPARK_SCALA_VERSION in
+    * the process env (build.sbt sets them for sbt-forked runs; inject as a
+    * fallback when the harness launches us differently). */
+  private def ensureEnv(): Unit = {
+    val want = Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
+    if (want.keys.forall(k => sys.env.contains(k))) return
+    try {
+      val cls = Class.forName("java.lang.ProcessEnvironment")
+      val f = cls.getDeclaredField("theUnmodifiableEnvironment")
+      f.setAccessible(true)
+      val env = f.get(null).asInstanceOf[java.util.Map[String, String]]
+      val uf = Class.forName("java.util.Collections$UnmodifiableMap")
+        .getDeclaredField("m")
+      uf.setAccessible(true)
+      val m = uf.get(env).asInstanceOf[java.util.Map[String, String]]
+      want.foreach { case (k, v) => if (!m.containsKey(k)) m.put(k, v) }
+    } catch { case _: Throwable => () /* fall through; sbt path sets env */ }
+  }
+
   private def newSession(cores: Int): SparkSession = {
     // the sandbox has ONE vm disk (~500 MB/s) behind all 32 cores; a real
     // cluster's shuffle/sink bandwidth scales with executors. RAM-backed
@@ -79,6 +98,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    ensureEnv()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // batch size matters: a 1000-executor cluster feeds millions of events
