@@ -36,10 +36,13 @@ final case class Snapshot(
     rootKey: String,               // root-document key column (bucketing,
                                    // delete-tombstone cascade)
     segments: Seq[Segment],
-    commits: Set[String],          // applied (streamId:batchId) tags
+    commits: Seq[String],          // applied (streamId:batchId) tags,
+                                   // oldest-first, bounded retention
     lineage: Seq[Lineage],
 ) {
   def schema: StructType = schemas(schemaVer)
+  private lazy val commitSet = commits.toSet
+  def hasCommit(tag: String): Boolean = commitSet.contains(tag)
 }
 
 /** A minimal snapshot-committing lake table over parquet — MERGE upserts,
@@ -72,6 +75,14 @@ final case class Snapshot(
   */
 final class LakeTable(val spark: SparkSession, val root: String,
     val name: String, val numBuckets: Int = 64, val maxDeltas: Int = 8) {
+
+  /** Snapshot-log retention: the commit-tag set exists for exactly-once
+    * re-apply, which only matters within the streaming engine's retry
+    * window — keep the most recent tags, not all history (at 10^10
+    * events the log would otherwise grow with every micro-batch). Same
+    * for lineage records. */
+  val maxCommitTags = 4096
+  val maxLineage = 256
 
   private val dir: Path = Paths.get(root, name)
   private val snapDir: Path = dir.resolve("_snap")
@@ -125,7 +136,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
           seg.get("seq").collect { case JNum(n) => n.toLong }.getOrElse(0L))
       case _ => throw new IllegalStateException("bad segment")
     }
-    val commits = arr("commits").collect { case JStr(s) => s }.toSet
+    val commits = arr("commits").collect { case JStr(s) => s }
     val lineage = arr("lineage").map {
       case l: JObj =>
         Lineage(
@@ -155,7 +166,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
         "schemaVer" -> JNum(seg.schemaVer.toString),
         "kind" -> JStr(seg.kind),
         "seq" -> JNum(seg.seq.toString))): JValue).toVector),
-      "commits" -> JArr(s.commits.toVector.sorted.map(JStr(_): JValue)),
+      "commits" -> JArr(s.commits.map(JStr(_): JValue).toVector),
       "lineage" -> JArr(s.lineage.map(l => JObj(Vector(
         "tag" -> JStr(l.tag),
         "buckets" -> JArr(l.buckets.map(b => JNum(b.toString): JValue).toVector),
@@ -178,7 +189,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       rootKey: String): Unit = if (!exists()) {
     Files.createDirectories(dir.resolve("data"))
     writeSnapshot(Snapshot(1, 1, Map(1 -> schema), keyCols, rootKey, Nil,
-      Set.empty, Nil))
+      Nil, Nil))
   }
 
   /** Additive schema evolution (alterTables, sqlDDL.ts:27-65): commit a
@@ -303,7 +314,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
   ): Snapshot = {
     val t0 = System.nanoTime()
     val s = snapshot()
-    if (s.commits.contains(commitTag)) return s // idempotent re-commit
+    if (s.hasCommit(commitTag)) return s // idempotent re-commit
 
     val target = s.schema
     val metaTarget = withMeta(target)
@@ -400,10 +411,10 @@ final class LakeTable(val spark: SparkSession, val root: String,
       val next = s.copy(
         version = ver,
         segments = kept ++ newSegs,
-        commits = s.commits + commitTag,
-        lineage = s.lineage :+ Lineage(commitTag, touched.toSeq.sorted,
+        commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
+        lineage = (s.lineage :+ Lineage(commitTag, touched.toSeq.sorted,
           upserted, deleted, compact.toSeq.sorted,
-          (System.nanoTime() - t0) / 1000000),
+          (System.nanoTime() - t0) / 1000000)).takeRight(maxLineage),
       )
       writeSnapshot(next)
       next
@@ -419,11 +430,38 @@ final class LakeTable(val spark: SparkSession, val root: String,
   }
 
   private def commitEmpty(s: Snapshot, tag: String, t0: Long): Snapshot = {
-    val next = s.copy(version = s.version + 1, commits = s.commits + tag,
-      lineage = s.lineage :+ Lineage(tag, Nil, 0, 0, Nil,
-        (System.nanoTime() - t0) / 1000000))
+    val next = s.copy(version = s.version + 1,
+      commits = (s.commits :+ tag).takeRight(maxCommitTags),
+      lineage = (s.lineage :+ Lineage(tag, Nil, 0, 0, Nil,
+        (System.nanoTime() - t0) / 1000000)).takeRight(maxLineage))
     writeSnapshot(next)
     next
+  }
+
+  /** Remove data directories no live segment references (failed writes,
+    * superseded commits) and old snapshot files — the expire-snapshots
+    * maintenance op. Keeps the latest `keepSnapshots` snapshot JSONs. */
+  def vacuum(keepSnapshots: Int = 10): Int = {
+    val s = snapshot()
+    val live: Set[Path] = s.segments
+      .map(seg => dir.resolve(seg.path).getParent.normalize()).toSet
+    val dataDir = dir.resolve("data")
+    var removed = 0
+    if (Files.isDirectory(dataDir)) {
+      Files.list(dataDir).iterator().asScala.toSeq.foreach { c =>
+        if (Files.isDirectory(c) && !live.contains(c.normalize()) &&
+          !s.segments.exists(seg =>
+            dir.resolve(seg.path).normalize().startsWith(c.normalize()))) {
+          scala.sys.process.Process(Seq("rm", "-rf", c.toString)).!
+          removed += 1
+        }
+      }
+    }
+    // expire old snapshot files (keep the newest K)
+    val snaps = Files.list(snapDir).iterator().asScala
+      .filter(p => versionOf(p) > 0).toSeq.sortBy(versionOf)
+    snaps.dropRight(keepSnapshots).foreach(p => Files.deleteIfExists(p))
+    removed
   }
 
   private def listBucketDirs(commitDir: Path): Seq[(Int, String)] =

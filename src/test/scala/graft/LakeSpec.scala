@@ -87,11 +87,24 @@ class LakeSpec extends AnyFunSuite {
     assert(got(1).getInt(2) == 7)
   }
 
+  test("vacuum removes unreferenced commit dirs, keeps live segments readable") {
+    val t = newTable(maxDeltas = 2)
+    (1 to 6).foreach(i => t.merge(df("k" -> i.toString), Seq("ID"), "ID", s"c$i"))
+    val before = t.read().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val removed = t.vacuum(keepSnapshots = 2)
+    assert(removed > 0) // superseded (compacted-away) commit dirs deleted
+    val after = t.read().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after == before && after("k") == "6")
+    // another merge after vacuum still works
+    t.merge(df("k" -> "7"), Seq("ID"), "ID", "c7")
+    assert(t.read().collect().map(r => r.getString(1)).toSeq == Seq("7"))
+  }
+
   test("exactly-once: same tag re-merge is a no-op; different tag applies") {
     val t = newTable()
     t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
     t.merge(df("a" -> "X"), Seq("ID"), "ID", "c1") // retry with same tag
     assert(t.read().collect().head.getString(1) == "1")
-    assert(t.snapshot().commits == Set("c1"))
+    assert(t.snapshot().commits == Seq("c1"))
   }
 }
