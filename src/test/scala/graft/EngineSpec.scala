@@ -161,6 +161,24 @@ class EngineSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("out-of-order batches converge: late (lower-lsn) batch cannot clobber newer rows") {
+    val (e, _) = newEngine()
+    val p = EventGen.Params(nEvents = 600, nRepos = 8, pathsPerRepo = 6,
+      deletePct = 5)
+    val all = EventGen.events(spark, p, partitions = 2).toDF()
+    // apply the SECOND half first, then the stale first half
+    e.applyEvents("repos", all.filter(col("lsn") >= 300), "ooo:1")
+    e.applyEvents("repos", all.filter(col("lsn") < 300), "ooo:0")
+    val got = readTable(e, "repos", "repos").select("ID", "REV")
+      .orderBy("ID").collect().map(_.toString).toSeq
+
+    val (e2, _) = newEngine()
+    e2.applyEvents("repos", all, "inorder:0")
+    val want = readTable(e2, "repos", "repos").select("ID", "REV")
+      .orderBy("ID").collect().map(_.toString).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("CDC replay: 2000 skewed events in 4 batches → exact final state (sha256 per row)") {
     val (e, _) = newEngine()
     val p = EventGen.Params(nEvents = 2000, nRepos = 20, pathsPerRepo = 10)
