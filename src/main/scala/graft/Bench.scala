@@ -161,7 +161,8 @@ object Bench {
     var tLow = Double.MaxValue
     var tHigh = Double.MaxValue
     var warm = 0.0
-    (0 until 2).foreach { round =>
+    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
+    (0 until rounds).foreach { round =>
       if (round > 0 && (System.nanoTime() - benchT0) / 1e9 > budgetSecs) ()
       else {
       spark = clusterSession(1)
