@@ -97,6 +97,19 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
   def table(t: TableSpec): LakeTable =
     new LakeTable(spark, lakeRoot, t.fullName, numBuckets)
 
+  /** Maintenance pass over every table of an entity: force-compact all
+    * delta buckets (read-optimize) and vacuum unreferenced files. */
+  def maintain(entity: String, tag: String = "maintain"): Unit =
+    loadRegistry(entity).foreach { tree =>
+      Catalog.fromTree(tree).foreach { t =>
+        val lake = table(t)
+        if (lake.exists()) {
+          lake.compactAll(s"$tag:${t.fullName}")
+          lake.vacuum()
+        }
+      }
+    }
+
   /** Root-key column name inside a table frame: the outermost FK for child
     * tables, ID for the root. */
   private def rootKeyOf(t: TableSpec): String =

@@ -438,6 +438,39 @@ final class LakeTable(val spark: SparkSession, val root: String,
     next
   }
 
+  /** Force-compact every bucket that currently holds deltas: resolve and
+    * rewrite each as a single base segment (read-optimize before heavy
+    * query workloads). No-op when everything is already compacted. */
+  def compactAll(commitTag: String): Snapshot = {
+    val s = snapshot()
+    if (s.hasCommit(commitTag)) return s
+    val dirty = s.segments.groupBy(_.bucket)
+      .collect { case (b, segs) if segs.exists(_.kind == "delta") => b }.toSet
+    if (dirty.isEmpty) return s
+    val ver = s.version + 1
+    val resolved = resolveRows(readRaw(s, seg => dirty.contains(seg.bucket)),
+      s.keyCols, s.rootKey).withColumn(DelCol, lit(false))
+    val rel = f"data/c$ver%05db"
+    resolved
+      .withColumn(BucketCol, bucketExpr(col(s.rootKey)))
+      .repartition(math.max(1, math.min(numBuckets, dirty.size)),
+        col(BucketCol))
+      .sortWithinPartitions(s.keyCols.map(col): _*)
+      .write.partitionBy(BucketCol).mode("overwrite")
+      .parquet(dir.resolve(rel).toString)
+    val newSegs = listBucketDirs(dir.resolve(rel)).map { case (b, pth) =>
+      Segment(dir.relativize(Paths.get(pth)).toString, b, s.schemaVer,
+        "base", ver.toLong)
+    }
+    val next = s.copy(version = ver,
+      segments = s.segments.filterNot(seg => dirty.contains(seg.bucket)) ++ newSegs,
+      commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
+      lineage = (s.lineage :+ Lineage(commitTag, dirty.toSeq.sorted, 0, 0,
+        dirty.toSeq.sorted, 0)).takeRight(maxLineage))
+    writeSnapshot(next)
+    next
+  }
+
   /** Remove data directories no live segment references (failed writes,
     * superseded commits) and old snapshot files — the expire-snapshots
     * maintenance op. Keeps the latest `keepSnapshots` snapshot JSONs. */

@@ -100,6 +100,23 @@ class LakeSpec extends AnyFunSuite {
     assert(t.read().collect().map(r => r.getString(1)).toSeq == Seq("7"))
   }
 
+  test("compactAll: collapses every delta bucket to base, state preserved") {
+    val t = newTable(maxDeltas = 100) // never auto-compacts
+    (1 to 5).foreach(i => t.merge(df("k" -> i.toString, s"y$i" -> "v"),
+      Seq("ID"), "ID", s"c$i"))
+    t.merge(df(), Seq("ID"), "ID", "c6",
+      deleteRootKeys = Some(Seq("y1").toDF("ID")))
+    val before = t.read().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    t.compactAll("compact:1")
+    val snap = t.snapshot()
+    assert(snap.segments.nonEmpty && snap.segments.forall(_.kind == "base"))
+    val after = t.read().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after == before && !after.contains("y1") && after("k") == "5")
+    // idempotent under the same tag
+    t.compactAll("compact:1")
+    assert(t.snapshot().version == snap.version)
+  }
+
   test("exactly-once: same tag re-merge is a no-op; different tag applies") {
     val t = newTable()
     t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
