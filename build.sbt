@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout JSON line of `sbt "runMain graft.Bench"`.
+// sbt normally decorates forked output with "[info] " (unparseable JSON) and
+// appends its own "[success] Total time" line — inherit stdout raw and drop
+// the success banner so the bench's JSON line is clean, final stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // local-cluster[...] (real executor JVMs — the scaling-evidence mode)
 // needs these to launch executors from the forked runner
 run / envVars ++= Map(

@@ -47,15 +47,23 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
   private def registryDir(entity: String) =
     Paths.get(lakeRoot, s"_registry_$entity")
 
+  /** Newest vNNNNN.json version in a registry dir, stream closed (leaking
+    * a directory fd per micro-batch would exhaust the limit between GCs). */
+  private def newestRegistryVersion(d: java.nio.file.Path): Int = {
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toInt)
+      .foldLeft(0)(math.max)
+    finally s.close()
+  }
+
   def loadRegistry(entity: String): Option[Attr] = {
     val d = registryDir(entity)
     if (!Files.isDirectory(d)) None
     else {
-      val latest = Files.list(d).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .map(_.stripPrefix("v").stripSuffix(".json").toInt)
-        .foldLeft(0)(math.max)
+      val latest = newestRegistryVersion(d)
       if (latest == 0) None
       else Some(Infer.fromJson(Json.parse(
         Files.readString(d.resolve(f"v$latest%05d.json")))))
@@ -65,11 +73,7 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
   private def saveRegistry(entity: String, tree: Attr): Unit = {
     val d = registryDir(entity)
     Files.createDirectories(d)
-    val latest = Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(_.stripPrefix("v").stripSuffix(".json").toInt)
-      .foldLeft(0)(math.max)
+    val latest = newestRegistryVersion(d)
     val tmp = d.resolve(f".tmp-v${latest + 1}%05d.json")
     Files.writeString(tmp, Json.render(Infer.toJson(tree)))
     Files.move(tmp, d.resolve(f"v${latest + 1}%05d.json"),
@@ -78,34 +82,48 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
 
   /** Distributed schema inference: per-partition fold into an attribute
     * tree, then a lattice-merge treeReduce. One pass over the batch; no
-    * documents are collected to the driver. */
-  def inferBatch(entity: String, docs: DataFrame, docCol: String): Attr = {
+    * documents are collected to the driver. `counter`, when given, tallies
+    * the parsed docs inside the same job — the batch-size metric comes for
+    * free instead of costing a separate count() action. */
+  def inferBatch(entity: String, docs: DataFrame, docCol: String,
+      counter: Option[org.apache.spark.util.LongAccumulator] = None): Attr = {
     import spark.implicits._
     val strings = docs.select(col(docCol).cast("string")).as[String]
     val partials = strings.rdd
       .mapPartitions { it =>
-        val t = Infer.analyzeDocuments(entity, it.flatMap(s => Json.parseOpt(s)))
+        val docsIt = it.flatMap(s => Json.parseOpt(s))
+        val counted = counter match {
+          case Some(acc) => docsIt.map { d => acc.add(1L); d }
+          case None      => docsIt
+        }
+        val t = Infer.analyzeDocuments(entity, counted)
         // skip doc-less partitions so treeReduce never sees an empty RDD
         if (t.attributes(entity).dataType == graft.schema.DType.Unknown)
           Iterator.empty
         else Iterator.single(t)
       }
-    if (partials.isEmpty()) Infer.analyzeDocuments(entity, Nil)
-    else partials.treeReduce(Infer.mergeInto)
+    // fold (not isEmpty-then-reduce): empty partials still runs exactly one
+    // job; the identity tree is the lattice bottom so fold ≡ reduce
+    partials.fold(Infer.analyzeDocuments(entity, Nil))(Infer.mergeInto)
   }
 
   def table(t: TableSpec): LakeTable =
     new LakeTable(spark, lakeRoot, t.fullName, numBuckets)
 
   /** Maintenance pass over every table of an entity: force-compact all
-    * delta buckets (read-optimize) and vacuum unreferenced files. */
-  def maintain(entity: String, tag: String = "maintain"): Unit =
+    * delta buckets (read-optimize) and vacuum unreferenced files.
+    * `expireTombstonesBelow` drops delete tombstones older than that seq
+    * (delete-retention horizon — pass max applied lsn minus the pipeline's
+    * out-of-orderness bound); `vacuumGraceMs` guards in-flight writers. */
+  def maintain(entity: String, tag: String = "maintain",
+      expireTombstonesBelow: Option[Long] = None,
+      vacuumGraceMs: Long = 600000L): Unit =
     loadRegistry(entity).foreach { tree =>
       Catalog.fromTree(tree).foreach { t =>
         val lake = table(t)
         if (lake.exists()) {
-          lake.compactAll(s"$tag:${t.fullName}")
-          lake.vacuum()
+          lake.compactAll(s"$tag:${t.fullName}", expireTombstonesBelow)
+          lake.vacuum(graceMs = vacuumGraceMs)
         }
       }
     }
@@ -161,7 +179,11 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       .filter(col("_rn") === 1).drop("_rn")
       .persist()
 
-    // op split: upserts vs delete tombstones (each keeps its event seq)
+    // op split: upserts vs delete tombstones (each keeps its event seq).
+    // Explicit deleteIds under the lsn domain need a delete lsn (a
+    // commit-seq default would never shadow lsn-visibility rows —
+    // mixed-domain merges are rejected by the lake): use the batch's max
+    // observed lsn; without a monotone seq the lake's commit seq applies.
     var deduped = opCol match {
       case Some(c) => latest.filter(col(c) =!= "delete")
       case None    => latest
@@ -170,13 +192,17 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       latest.filter(col(c) === "delete")
         .select(col("_docid"), col("_seq"))
     }
-    val allDeletes: Option[DataFrame] = (deleteIds, delFromOps) match {
-      case (Some(a), Some(b)) =>
-        Some(a.toDF("_docid").withColumn("_seq", lit(null).cast("long"))
-          .unionByName(b))
-      case (Some(a), None) =>
-        Some(a.toDF("_docid").withColumn("_seq", lit(null).cast("long")))
-      case (None, b) => b
+    lazy val maxSeenSeq: Long = Option(
+      latest.agg(max(col("_seq"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val explicitDel: Option[DataFrame] = deleteIds.map { a =>
+      val seqExpr = if (monotoneSeq) lit(maxSeenSeq) else lit(null).cast("long")
+      a.toDF("_docid").withColumn("_seq", seqExpr)
+    }
+    val allDeletes: Option[DataFrame] = (explicitDel, delFromOps) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (Some(a), None)    => Some(a)
+      case (None, b)          => b
     }
 
     try {
@@ -186,6 +212,7 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       // incr (index.ts:43-72): skip docs whose (ID, REV) is already in the
       // root table — anti-join replaces the driver-side revision Map
       // (sqlDML.ts:27-93); the join broadcasts under AQE when small
+      var preSkipCount: Option[DataFrame] = None
       if (incremental) {
         prior.foreach { tree =>
           val tables = Catalog.fromTree(tree)
@@ -195,29 +222,32 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
             lake.snapshot().schema.fieldNames.contains("REV")) {
             val existing = lake.read().select(
               col("ID").as("_docid"), col("REV").as("_docrev"))
-            val before = deduped.count()
-            val next = deduped
-              .join(existing, Seq("_docid", "_docrev"), "left_anti").persist()
-            skipped = before - next.count()
-            deduped.unpersist()
-            deduped = next
+            preSkipCount = Some(deduped) // cheap re-count off the cache
+            deduped = deduped
+              .join(existing, Seq("_docid", "_docrev"), "left_anti")
           }
         }
       }
 
-      val dedupedDocs = deduped.count()
-      val nDel = allDeletes.map(_.count()).getOrElse(0L)
-      val batchEvents = dedupedDocs + nDel // applied after per-key dedup
-      if (batchEvents == 0)
+      // 1-2: inference + registry widen (docMetadata/sqlMetadata stages).
+      // The SAME job materializes the window-dedup cache and tallies the
+      // surviving doc count (accumulator) — no standalone count() actions
+      // on the hot path (metrics-grade: task retries could double-count).
+      val dedupAcc = spark.sparkContext.longAccumulator("graft.dedupedDocs")
+      val batchTree = inferBatch(entity, deduped, docCol, Some(dedupAcc))
+      val dedupedDocs = dedupAcc.value.longValue
+      skipped = preSkipCount.map(_.count() - dedupedDocs).getOrElse(0L)
+
+      if (dedupedDocs == 0 && (allDeletes.isEmpty || prior.isEmpty))
+        // nothing to upsert; deletes can only touch existing tables
         return ApplyStats(0, 0, 0, skipped, 0)
 
-      // 1-2: inference + registry widen (docMetadata/sqlMetadata stages)
-      val batchTree = inferBatch(entity, deduped, docCol)
-      val registry = prior match {
-        case Some(t) => Infer.mergeInto(t, batchTree)
-        case None    => batchTree
+      val registry = (prior, dedupedDocs) match {
+        case (Some(t), 0L) => t // delete-only batch: schema unchanged
+        case (Some(t), _)  => Infer.mergeInto(t, batchTree)
+        case (None, _)     => batchTree
       }
-      saveRegistry(entity, registry)
+      if (dedupedDocs > 0) saveRegistry(entity, registry)
 
       // 3-4: DDL — create or evolve each lake table (sqlDDL createTables /
       // alterTables; additive + widening only)
@@ -245,6 +275,9 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
+      // the applied-delete count comes from the ROOT table's merge lineage
+      // (its Observation already counted tombstones) — not a count() job
+      var nDel = 0L
       try {
         val parallelMerge = sys.env.getOrElse("GRAFT_PAR_MERGE", "1") != "0"
         def mergeOne(t: TableSpec): Unit = {
@@ -264,9 +297,12 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
                 .orderBy(col("_seq").desc, col("_gord").desc)))
               .filter(col("_krn") === 1)
               .drop("_krn", "_gord")
-          table(t).merge(frame, t.keyColumns, rootKeyOf(t), commitTag,
-            deleteRootKeys = allDeletes,
+          val snap = table(t).merge(frame, t.keyColumns, rootKeyOf(t),
+            commitTag, deleteRootKeys = allDeletes,
             rowSeqCol = if (monotoneSeq) Some("_seq") else None)
+          if (t.isRoot)
+            nDel = snap.lineage.lastOption.filter(_.tag == commitTag)
+              .map(_.deleted).getOrElse(0L)
           ()
         }
         if (parallelMerge)
@@ -275,11 +311,8 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
         else tables.foreach(mergeOne)
       } finally parsed.unpersist()
 
-      ApplyStats(batchEvents, dedupedDocs, nDel, skipped, tables.size)
-    } finally {
-      latest.unpersist()
-      deduped.unpersist() // no-op unless incr swapped in a persisted frame
-    }
+      ApplyStats(dedupedDocs + nDel, dedupedDocs, nDel, skipped, tables.size)
+    } finally latest.unpersist()
   }
 
   /** incr (index.ts:43-72): like load, but unchanged (ID, REV) docs are

@@ -39,6 +39,12 @@ final case class Snapshot(
     commits: Seq[String],          // applied (streamId:batchId) tags,
                                    // oldest-first, bounded retention
     lineage: Seq[Lineage],
+    seqDomain: String = "",        // row-visibility seq domain: "lsn"
+                                   // (caller's monotone event seq) or
+                                   // "commit" (table version) — mixing the
+                                   // two would silently break LWW, so the
+                                   // first data merge pins it and later
+                                   // merges must match
 ) {
   def schema: StructType = schemas(schemaVer)
   private lazy val commitSet = commits.toSet
@@ -90,6 +96,14 @@ final class LakeTable(val spark: SparkSession, val root: String,
   val SeqCol = "_gseq"
   val DelCol = "_gdel" // tombstone marker (delete of a root key)
 
+  /** Files.list with the stream closed (it holds a directory fd; reads run
+    * several times per micro-batch, so leaking would exhaust the fd limit
+    * between GCs on a long-running stream). */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   // ---------- snapshot log ----------
 
   private def versionOf(p: Path): Int = {
@@ -101,7 +115,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
 
   def currentVersion(): Int =
     if (!Files.isDirectory(snapDir)) 0
-    else Files.list(snapDir).iterator().asScala.map(versionOf).foldLeft(0)(math.max)
+    else listDir(snapDir).map(versionOf).foldLeft(0)(math.max)
 
   def exists(): Boolean = currentVersion() > 0
 
@@ -137,6 +151,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       case _ => throw new IllegalStateException("bad segment")
     }
     val commits = arr("commits").collect { case JStr(s) => s }
+    val seqDomain = o.get("seqDomain").collect { case JStr(s) => s }.getOrElse("")
     val lineage = arr("lineage").map {
       case l: JObj =>
         Lineage(
@@ -148,7 +163,8 @@ final class LakeTable(val spark: SparkSession, val root: String,
           l.get("wallMs").collect { case JNum(n) => n.toLong }.getOrElse(0L))
       case _ => throw new IllegalStateException("bad lineage")
     }
-    Snapshot(v, schemaVer, schemas, keyCols, rootKey, segs, commits, lineage)
+    Snapshot(v, schemaVer, schemas, keyCols, rootKey, segs, commits, lineage,
+      seqDomain)
   }
 
   private def writeSnapshot(s: Snapshot): Unit = {
@@ -161,6 +177,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       }),
       "keyCols" -> JArr(s.keyCols.map(JStr(_): JValue).toVector),
       "rootKey" -> JStr(s.rootKey),
+      "seqDomain" -> JStr(s.seqDomain),
       "segments" -> JArr(s.segments.map(seg => JObj(Vector(
         "path" -> JStr(seg.path), "bucket" -> JNum(seg.bucket.toString),
         "schemaVer" -> JNum(seg.schemaVer.toString),
@@ -227,9 +244,11 @@ final class LakeTable(val spark: SparkSession, val root: String,
       org.apache.spark.sql.types.BooleanType)
 
   /** Raw segment union (with visibility-seq + tombstone meta), aligned. */
-  private def readRaw(s: Snapshot, keep: Segment => Boolean): DataFrame = {
+  private def readRaw(s: Snapshot, keep: Segment => Boolean): DataFrame =
+    readSegments(s, s.segments.filter(keep))
+
+  private def readSegments(s: Snapshot, live: Seq[Segment]): DataFrame = {
     val target = withMeta(s.schema)
-    val live = s.segments.filter(keep)
     if (live.isEmpty) emptyDf(target)
     else {
       // group by schema version: each group reads with its written schema,
@@ -274,7 +293,10 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val dirtySegs = dirty.values.flatten.toSet
     val cleanDf =
       if (cleanSegs.isEmpty) None
-      else Some(readRaw(s, cleanSegs.contains).drop(SeqCol, DelCol))
+      // compacted bases carry retained tombstone rows (out-of-order guard
+      // across compaction) — a codegen'd filter, still no shuffle
+      else Some(readRaw(s, cleanSegs.contains)
+        .filter(col(DelCol).isNull || !col(DelCol)).drop(SeqCol, DelCol))
     val dirtyDf =
       if (dirtySegs.isEmpty) None
       else Some(resolveRows(readRaw(s, dirtySegs.contains), s.keyCols,
@@ -301,8 +323,22 @@ final class LakeTable(val spark: SparkSession, val root: String,
     *     a delete costs O(keys), never a bucket rewrite; reads drop every
     *     row (any full key) under a newer tombstone of its root key
     *   - buckets at the delta cap (maxDeltas) are compacted inline:
-    *     resolved to a single base segment, tombstones cleared
+    *     resolved to a single base segment; tombstones are CARRIED into the
+    *     base (deduped to one per root key) so a late lower-lsn event
+    *     cannot resurrect a deleted key across a compaction boundary
     *   - a `commitTag` already in the snapshot makes the call a no-op
+    *
+    * Job shape (the at-scale contract): ONE write job on the hot path —
+    * touched buckets and upsert/delete counts come from an `Observation`
+    * on the same write, not a separate scan, and nothing is persisted.
+    * A second job runs only when some bucket hit the delta cap.
+    *
+    * Seq domains: `rowSeqCol` present ⇒ the caller's monotone event
+    * sequence (CDC lsn — exact global LWW, late events can't clobber newer
+    * rows); absent ⇒ the table's commit seq (batch-granular). The first
+    * data merge pins the table's domain and mixing is rejected — an
+    * lsn-domain table silently losing all commit-seq rows (tiny seqs) or
+    * vice versa would be a correctness trap, not a merge.
     */
   def merge(
       updates: DataFrame,
@@ -316,12 +352,14 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val s = snapshot()
     if (s.hasCommit(commitTag)) return s // idempotent re-commit
 
+    val domain = if (rowSeqCol.isDefined) "lsn" else "commit"
+    require(s.seqDomain.isEmpty || s.seqDomain == domain,
+      s"table $name uses seq domain '${s.seqDomain}' but this merge is " +
+        s"'$domain' — mixed visibility domains would corrupt last-write-wins")
+
     val target = s.schema
     val metaTarget = withMeta(target)
     val newSeq = s.version + 1L
-    // row visibility seq: the caller's monotone event sequence (CDC lsn —
-    // exact global LWW, late events can't clobber newer rows) or the
-    // commit seq (batch-granular)
     val seqOf: DataFrame => org.apache.spark.sql.Column = df =>
       rowSeqCol.filter(df.columns.contains)
         .map(c => coalesce(col(c).cast(LongType), lit(newSeq)))
@@ -330,95 +368,115 @@ final class LakeTable(val spark: SparkSession, val root: String,
       .withColumn(SeqCol, seqOf(updates))
       .withColumn(DelCol, lit(false)), metaTarget)
     val tombRows = deleteRootKeys.map { dk =>
-      // delete-key frame: first column = root key, optional second = seq
+      // delete-key frame: first column = root key, optional second = seq.
+      // Under the lsn domain each delete MUST carry its own lsn (a
+      // commit-seq default would never shadow lsn-domain rows).
       val named =
         if (dk.columns.length >= 2) dk.toDF(rootKeyCol +: dk.columns.tail.toSeq: _*)
         else dk.toDF(rootKeyCol)
+      require(domain == "commit" || named.columns.length >= 2,
+        s"table $name: lsn-domain deletes need an explicit delete lsn")
       val seqExpr =
-        if (named.columns.length >= 2)
-          coalesce(col(named.columns(1)).cast(LongType), lit(newSeq))
-        else lit(newSeq)
+        if (domain == "lsn") col(named.columns(1)).cast(LongType)
+        else lit(newSeq) // commit domain: ignore any caller seq — one domain
       align(named
         .withColumn(SeqCol, seqExpr)
         .withColumn(DelCol, lit(true)), metaTarget)
     }
     val up = tombRows.fold(upRows)(upRows.unionByName(_))
       .withColumn(BucketCol, bucketExpr(col(rootKeyCol)))
-      .persist()
 
-    try {
-      // touched buckets + batch sizes in ONE job (collect_set is a
-      // partial-aggregated ≤numBuckets-value set — no wide shuffle)
-      val agg = up.agg(collect_set(col(BucketCol)),
-        count(when(!col(DelCol), 1)), count(when(col(DelCol), 1))).head()
-      val touched: Set[Int] = agg.getSeq[Int](0).toSet
-      val upserted = agg.getLong(1)
-      val deleted = agg.getLong(2)
-      if (touched.isEmpty) return commitEmpty(s, commitTag, t0)
+    // buckets already at the delta cap go straight to compaction (known
+    // from the snapshot alone — no pre-scan of the batch needed)
+    val atCap: Set[Int] = s.segments
+      .filter(_.kind == "delta").groupBy(_.bucket)
+      .collect { case (b, xs) if xs.size >= maxDeltas - 1 => b }.toSet
 
-      // compaction set: buckets that would exceed the delta cap
-      val deltaCount: Map[Int, Int] = s.segments
-        .filter(_.kind == "delta").groupBy(_.bucket)
-        .map { case (b, xs) => b -> xs.size }
-      val compact =
-        touched.filter(b => deltaCount.getOrElse(b, 0) >= maxDeltas - 1)
-      val deltaOnly = touched -- compact
+    val ver = s.version + 1
 
-      val ver = s.version + 1
-      var newSegs = Vector.empty[Segment]
+    // ONE scan, ONE write: every row (upserts + tombstones, all buckets)
+    // appends as delta; touched buckets and counts ride on an Observation
+    // of the same query — no separate pre-scan job, nothing persisted
+    val obs = org.apache.spark.sql.Observation()
+    val rel = f"data/c$ver%05dd"
+    up.observe(obs, collect_set(col(BucketCol)).as("buckets"),
+        count(when(!col(DelCol), 1)).as("nup"),
+        count(when(col(DelCol), 1)).as("ndel"))
+      .repartition(numBuckets, col(BucketCol))
+      .sortWithinPartitions(keyCols.map(col): _*)
+      .write.partitionBy(BucketCol).mode("overwrite")
+      .parquet(dir.resolve(rel).toString)
+    // AQE empty-propagation can eliminate the CollectMetrics node when the
+    // batch is provably empty (the observation then reports no metrics) —
+    // touched buckets come from the written bucket dirs (ground truth
+    // either way), counts default to 0 for that empty case
+    val m = obs.get
+    val upserted = m.get("nup").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val deleted = m.get("ndel").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val deltaSegs = listBucketDirs(dir.resolve(rel)).map { case (b, p) =>
+      Segment(dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
+        "delta", newSeq)
+    }
+    val touched: Set[Int] = deltaSegs.map(_.bucket).toSet
+    if (touched.isEmpty && atCap.isEmpty) return commitEmpty(s, commitTag, t0)
 
-      // fast path: append one delta segment (upserts + tombstones) per
-      // below-cap bucket — no existing data read, O(batch)
-      if (deltaOnly.nonEmpty) {
-        val rel = f"data/c$ver%05dd"
-        up.filter(col(BucketCol).isin(deltaOnly.toSeq: _*))
-          .repartition(math.max(1, math.min(numBuckets, deltaOnly.size)),
-            col(BucketCol))
-          .sortWithinPartitions(keyCols.map(col): _*)
-          .write.partitionBy(BucketCol).mode("overwrite")
-          .parquet(dir.resolve(rel).toString)
-        newSegs ++= listBucketDirs(dir.resolve(rel)).map { case (b, p) =>
-          Segment(dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
-            "delta", newSeq)
-        }
+    // compaction (the rare second job): at-cap buckets — existing segments
+    // ∪ their fresh delta, read back COLUMNAR from what was just written —
+    // resolve to one base segment each; winners keep their SeqCol so later
+    // deltas still shadow correctly, and live tombstones ride along
+    val baseSegs =
+      if (atCap.isEmpty) Nil
+      else {
+        val raw = readSegments(s,
+          (s.segments ++ deltaSegs).filter(seg => atCap.contains(seg.bucket)))
+        writeBase(s, ver, raw, keyCols, rootKeyCol, atCap.size, None)
       }
 
-      // compaction path: resolve existing ∪ fresh (incl. tombstones) to a
-      // single base segment per bucket; winners keep their SeqCol so later
-      // deltas still shadow correctly
-      if (compact.nonEmpty) {
-        val existing = readRaw(s, seg => compact.contains(seg.bucket))
-        val fresh = up.filter(col(BucketCol).isin(compact.toSeq: _*))
-          .drop(BucketCol)
-        val resolved =
-          resolveRows(existing.unionByName(fresh), keyCols, rootKeyCol)
-            .withColumn(DelCol, lit(false))
-        val rel = f"data/c$ver%05db"
-        resolved
-          .withColumn(BucketCol, bucketExpr(col(rootKeyCol)))
-          .repartition(math.max(1, math.min(numBuckets, compact.size)),
-            col(BucketCol))
-          .sortWithinPartitions(keyCols.map(col): _*)
-          .write.partitionBy(BucketCol).mode("overwrite")
-          .parquet(dir.resolve(rel).toString)
-        newSegs ++= listBucketDirs(dir.resolve(rel)).map { case (b, p) =>
-          Segment(dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
-            "base", newSeq)
-        }
-      }
+    val inCap = (seg: Segment) => atCap.contains(seg.bucket)
+    val next = s.copy(
+      version = ver,
+      segments = (s.segments ++ deltaSegs).filterNot(inCap) ++ baseSegs,
+      commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
+      lineage = (s.lineage :+ Lineage(commitTag, touched.toSeq.sorted,
+        upserted, deleted, atCap.toSeq.sorted,
+        (System.nanoTime() - t0) / 1000000)).takeRight(maxLineage),
+      seqDomain = domain,
+    )
+    writeSnapshot(next)
+    next
+  }
 
-      val kept = s.segments.filterNot(seg => compact.contains(seg.bucket))
-      val next = s.copy(
-        version = ver,
-        segments = kept ++ newSegs,
-        commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
-        lineage = (s.lineage :+ Lineage(commitTag, touched.toSeq.sorted,
-          upserted, deleted, compact.toSeq.sorted,
-          (System.nanoTime() - t0) / 1000000)).takeRight(maxLineage),
-      )
-      writeSnapshot(next)
-      next
-    } finally up.unpersist()
+  /** Resolve `raw` (existing ∪ fresh, meta-carrying) and write one base
+    * segment per bucket: newest live row per key PLUS one carried tombstone
+    * row per deleted root key (so out-of-order events older than a delete
+    * stay dead across the compaction). `expireTombstonesBelow` drops
+    * tombstones with seq < the horizon — the delete-retention knob
+    * (Hudi/Paimon-style): safe once the out-of-orderness bound has passed. */
+  private def writeBase(s: Snapshot, ver: Int, raw: DataFrame,
+      keyCols: Seq[String], rootKeyCol: String, nBuckets: Int,
+      expireTombstonesBelow: Option[Long]): Seq[Segment] = {
+    val metaTarget = withMeta(s.schema)
+    val winners = resolveRows(raw, keyCols, rootKeyCol)
+      .withColumn(DelCol, lit(false))
+    val horizon = expireTombstonesBelow.getOrElse(Long.MinValue)
+    val toms = align(
+      raw.filter(col(DelCol) === true)
+        .groupBy(col(rootKeyCol))
+        .agg(max(col(SeqCol)).as(SeqCol))
+        .filter(col(SeqCol) >= horizon)
+        .withColumn(DelCol, lit(true)), metaTarget)
+    val rel = f"data/c$ver%05db"
+    winners.unionByName(toms)
+      .withColumn(BucketCol, bucketExpr(col(rootKeyCol)))
+      .repartition(math.max(1, math.min(numBuckets, nBuckets)),
+        col(BucketCol))
+      .sortWithinPartitions(keyCols.map(col): _*)
+      .write.partitionBy(BucketCol).mode("overwrite")
+      .parquet(dir.resolve(rel).toString)
+    listBucketDirs(dir.resolve(rel)).map { case (b, p) =>
+      Segment(dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
+        "base", ver.toLong)
+    }
   }
 
   private def align(df: DataFrame, target: StructType): DataFrame = {
@@ -440,28 +498,21 @@ final class LakeTable(val spark: SparkSession, val root: String,
 
   /** Force-compact every bucket that currently holds deltas: resolve and
     * rewrite each as a single base segment (read-optimize before heavy
-    * query workloads). No-op when everything is already compacted. */
-  def compactAll(commitTag: String): Snapshot = {
+    * query workloads). No-op when everything is already compacted.
+    * `expireTombstonesBelow`: drop delete tombstones older than this seq —
+    * the delete-retention horizon; pass the max applied seq minus the
+    * pipeline's out-of-orderness bound. Default keeps all tombstones. */
+  def compactAll(commitTag: String,
+      expireTombstonesBelow: Option[Long] = None): Snapshot = {
     val s = snapshot()
     if (s.hasCommit(commitTag)) return s
     val dirty = s.segments.groupBy(_.bucket)
       .collect { case (b, segs) if segs.exists(_.kind == "delta") => b }.toSet
     if (dirty.isEmpty) return s
     val ver = s.version + 1
-    val resolved = resolveRows(readRaw(s, seg => dirty.contains(seg.bucket)),
-      s.keyCols, s.rootKey).withColumn(DelCol, lit(false))
-    val rel = f"data/c$ver%05db"
-    resolved
-      .withColumn(BucketCol, bucketExpr(col(s.rootKey)))
-      .repartition(math.max(1, math.min(numBuckets, dirty.size)),
-        col(BucketCol))
-      .sortWithinPartitions(s.keyCols.map(col): _*)
-      .write.partitionBy(BucketCol).mode("overwrite")
-      .parquet(dir.resolve(rel).toString)
-    val newSegs = listBucketDirs(dir.resolve(rel)).map { case (b, pth) =>
-      Segment(dir.relativize(Paths.get(pth)).toString, b, s.schemaVer,
-        "base", ver.toLong)
-    }
+    val newSegs = writeBase(s, ver,
+      readRaw(s, seg => dirty.contains(seg.bucket)), s.keyCols, s.rootKey,
+      dirty.size, expireTombstonesBelow)
     val next = s.copy(version = ver,
       segments = s.segments.filterNot(seg => dirty.contains(seg.bucket)) ++ newSegs,
       commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
@@ -473,37 +524,51 @@ final class LakeTable(val spark: SparkSession, val root: String,
 
   /** Remove data directories no live segment references (failed writes,
     * superseded commits) and old snapshot files — the expire-snapshots
-    * maintenance op. Keeps the latest `keepSnapshots` snapshot JSONs. */
-  def vacuum(keepSnapshots: Int = 10): Int = {
+    * maintenance op. Keeps the latest `keepSnapshots` snapshot JSONs.
+    * Only directories older than `graceMs` (mtime) are touched — an
+    * in-flight concurrent merge has already written its commit dir before
+    * publishing the snapshot, and deleting it mid-commit would corrupt
+    * that write (the Iceberg remove-orphan-files default, same reason). */
+  def vacuum(keepSnapshots: Int = 10, graceMs: Long = 600000L): Int = {
     val s = snapshot()
     val live: Set[Path] = s.segments
       .map(seg => dir.resolve(seg.path).getParent.normalize()).toSet
     val dataDir = dir.resolve("data")
+    val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
     if (Files.isDirectory(dataDir)) {
-      Files.list(dataDir).iterator().asScala.toSeq.foreach { c =>
+      listDir(dataDir).foreach { c =>
         if (Files.isDirectory(c) && !live.contains(c.normalize()) &&
           !s.segments.exists(seg =>
-            dir.resolve(seg.path).normalize().startsWith(c.normalize()))) {
-          scala.sys.process.Process(Seq("rm", "-rf", c.toString)).!
+            dir.resolve(seg.path).normalize().startsWith(c.normalize())) &&
+          Files.getLastModifiedTime(c).toMillis < cutoff) {
+          deleteTree(c)
           removed += 1
         }
       }
     }
     // expire old snapshot files (keep the newest K)
-    val snaps = Files.list(snapDir).iterator().asScala
-      .filter(p => versionOf(p) > 0).toSeq.sortBy(versionOf)
+    val snaps = listDir(snapDir).filter(p => versionOf(p) > 0).sortBy(versionOf)
     snaps.dropRight(keepSnapshots).foreach(p => Files.deleteIfExists(p))
     removed
   }
 
+  /** In-process recursive delete (no shelling out — works on any mounted
+    * FS the JVM can see; a real deployment would use the Hadoop FS API). */
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+
   private def listBucketDirs(commitDir: Path): Seq[(Int, String)] =
     if (!Files.isDirectory(commitDir)) Nil
-    else Files.list(commitDir).iterator().asScala
+    else listDir(commitDir)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith(s"$BucketCol="))
       .map { p =>
         val b = p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
         b -> p.toString
-      }.toSeq
+      }
 }

@@ -146,8 +146,14 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("delete cascades from root key to all child tables") {
-    val e = loadDoc1()
-    e.load("testd2s", Seq(Fixtures.doc2).toDF("doc"), "doc", "t:2")
+    // bootstrap-then-CDC-tail: the bootstrap load carries an explicit lsn
+    // (0/1) so the table lives in the lsn seq domain from the start — a
+    // seq-less load followed by lsn events is REJECTED (see next test)
+    val (e, _) = newEngine()
+    e.load("testd2s", Seq(Fixtures.doc1).toDF("doc")
+      .withColumn("lsn", lit(0L)), "doc", "t:1", seqCol = Some("lsn"))
+    e.load("testd2s", Seq(Fixtures.doc2).toDF("doc")
+      .withColumn("lsn", lit(1L)), "doc", "t:2", seqCol = Some("lsn"))
     val events = Seq(
       (10L, "delete", """{"id":"doc-0001","rev":"9.x"}"""),
     ).toDF("lsn", "op", "doc")
@@ -159,6 +165,37 @@ class EngineSpec extends AnyFunSuite {
       .map(_.getAs[String]("TESTD2S_ID")).forall(_ == "doc-0002"))
     assert(readTable(e, "testd2s", "anObjectWithinAnObjectInAnArray")
       .count() == 0)
+  }
+
+  test("loose-rev quirk: numeric rev and string rev compare equal in incr skip (sqlDML.ts:433)") {
+    // The reference's revision compare is JS loose `==`, so {"rev":1}
+    // matches a stored "1". Our extraction (get_json_object) yields the
+    // raw token "1" for BOTH the JSON number 1 and the JSON string "1",
+    // so the (ID, REV) anti-join reproduces the loose-equality behavior.
+    val (e, _) = newEngine()
+    e.load("q", Seq("""{"id":"d1","rev":"1","v":"a"}""").toDF("doc"),
+      "doc", "t:1")
+    // same rev as a JSON NUMBER → skipped, exactly like the reference
+    val s = e.incr("q", Seq("""{"id":"d1","rev":1,"v":"CHANGED"}""").toDF("doc"),
+      "doc", "t:2")
+    assert(s.skippedUnchanged == 1 && s.dedupedDocs == 0)
+    val r = readTable(e, "q", "q").collect().head
+    assert(r.getAs[String]("V") == "a") // untouched
+  }
+
+  test("mixed seq domains are rejected: commit-seq table + lsn merge") {
+    // Without this guard a seq-less load()'s rows (commit seqs, tiny)
+    // would silently lose to every lsn-domain row, and lsn-less deletes
+    // would never delete — the lake refuses instead of corrupting LWW.
+    val e = loadDoc1() // commit domain
+    val events = Seq((10L, "delete", """{"id":"doc-0001","rev":"9.x"}"""))
+      .toDF("lsn", "op", "doc")
+    val ex = intercept[Exception] {
+      e.applyEvents("testd2s", events, "t:mixed")
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(ex).getMessage.contains("seq domain"))
   }
 
   test("out-of-order batches converge: late (lower-lsn) batch cannot clobber newer rows") {

@@ -75,6 +75,37 @@ class LakeSpec extends AnyFunSuite {
     assert(ids.contains("b") && ids.contains("c"))
   }
 
+  test("delete retention: late lower-lsn row stays dead ACROSS compaction; horizon expires tombstones") {
+    // lsn-domain table: delete at lsn 100, compact, then a stale lsn-50
+    // delivery of the same key arrives. The tombstone must have been
+    // carried into the compacted base or the key resurrects.
+    def lsnDf(rows: (String, String, Long)*) = rows.toDF("ID", "V", "LSN")
+    val t = newTable(maxDeltas = 100)
+    t.merge(lsnDf(("a", "1", 10L), ("b", "1", 11L)), Seq("ID"), "ID", "c1",
+      rowSeqCol = Some("LSN"))
+    t.merge(lsnDf(), Seq("ID"), "ID", "c2",
+      deleteRootKeys = Some(Seq(("a", 100L)).toDF("ID", "LSN")),
+      rowSeqCol = Some("LSN"))
+    t.compactAll("compact:1")
+    assert(t.snapshot().segments.forall(_.kind == "base"))
+    // stale redelivery (lsn 50 < delete's 100) after the compaction
+    t.merge(lsnDf(("a", "stale", 50L)), Seq("ID"), "ID", "c3",
+      rowSeqCol = Some("LSN"))
+    assert(t.read().collect().map(_.getString(0)).toSeq == Seq("b"))
+    // a genuinely newer row (lsn 200) resurrects the key — correct LWW
+    t.merge(lsnDf(("a", "new", 200L)), Seq("ID"), "ID", "c4",
+      rowSeqCol = Some("LSN"))
+    val got = t.read().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "new", "b" -> "1"))
+    // retention horizon: expire tombstones below lsn 1000 → the carried
+    // tombstone is dropped from the next compaction (bounded metadata)
+    t.compactAll("compact:2", expireTombstonesBelow = Some(1000L))
+    val raw = spark.read.parquet(
+      t.snapshot().segments.map(seg =>
+        s"${t.root}/${t.name}/${seg.path}"): _*)
+    assert(!raw.collect().exists(_.getAs[Boolean]("_gdel")))
+  }
+
   test("schema evolution: mixed-version segments align on read") {
     val t = newTable()
     t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
@@ -91,7 +122,9 @@ class LakeSpec extends AnyFunSuite {
     val t = newTable(maxDeltas = 2)
     (1 to 6).foreach(i => t.merge(df("k" -> i.toString), Seq("ID"), "ID", s"c$i"))
     val before = t.read().collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val removed = t.vacuum(keepSnapshots = 2)
+    // graceMs=0: the mtime grace period protects in-flight concurrent
+    // writers in production; this test has none and wants instant cleanup
+    val removed = t.vacuum(keepSnapshots = 2, graceMs = 0L)
     assert(removed > 0) // superseded (compacted-away) commit dirs deleted
     val after = t.read().collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(after == before && after("k") == "6")
