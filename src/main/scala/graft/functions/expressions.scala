@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot-path text digests.
@@ -45,12 +46,60 @@ final case class Fingerprint64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** MinHash signature (`numHashes` seeded permutations over character
+  * k-shingles) as a native expression — the single most compute-dense
+  * kernel in the dedup family (BENCH r1: the UDF version dominated
+  * `dedup_minhash_lsh` wall time). One static call per row inside
+  * whole-stage codegen; returns `array<bigint>`. */
+final case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(graft.ops.Dedup.minhashSignature(
+      input.asInstanceOf[UTF8String].toString, k, numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.ops.Dedup.minhashSignature($c.toString(), $k, $numHashes))")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane sign-bit signature of an `array<float>` embedding
+  * (see [[graft.ops.Similarity.hyperplaneSig]]) — native for the same
+  * reason as [[MinHashSig]]: it runs once per vector in every LSH
+  * bucketing scan. */
+final case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ops.Similarity.hyperplaneSig(
+      input.asInstanceOf[ArrayData].toFloatArray(), bits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.Similarity.hyperplaneSig($c.toFloatArray(), $bits, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
 object expressions {
   import org.apache.spark.sql.GraftBridge
   def simhash64(c: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(c)))
   def fingerprint64(c: Column): Column =
     GraftBridge.column(Fingerprint64(GraftBridge.expression(c)))
+  def minhashSig(c: Column, k: Int, numHashes: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c), k, numHashes))
+  def hyperplaneSig(c: Column, bits: Int, seed: Long): Column =
+    GraftBridge.column(HyperplaneSig(GraftBridge.expression(c), bits, seed))
 
   /** SQL registration: `SELECT simhash64(text), fingerprint64(text) ...` */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

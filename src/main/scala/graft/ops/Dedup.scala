@@ -91,40 +91,89 @@ object Dedup {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Hot-bucket guard shared by every LSH family: drop (or keep) bucket
+    * groups larger than `cap`. A (band,hash) bucket of size b emits b²
+    * candidate pairs — at web scale, boilerplate-heavy corpora produce
+    * monster buckets (the same license header in 10M files) that would
+    * otherwise go quadratic. Oversized buckets carry almost no dedup
+    * signal (everything in them is near-identical to everything else), so
+    * the standard move is to cap and report. The count rides the SAME
+    * partitioning the join needs (one window, no extra shuffle). */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String],
+      cap: Option[Int]): DataFrame = cap match {
+    case None => banded
+    case Some(c) =>
+      val w = Window.partitionBy(keyCols.map(col): _*)
+      val sized = banded.withColumn("_bsz", count(lit(1)).over(w))
+      // no silent truncation: report what the cap dropped (one small agg
+      // job — only runs when a cap is configured)
+      val dropped = sized.filter(col("_bsz") > c)
+        .agg(coalesce(countDistinct(struct(keyCols.map(col): _*)), lit(0L)),
+          count(lit(1))).head()
+      if (dropped.getLong(1) > 0)
+        System.err.println(s"[graft.dedup] bucket cap $c: dropped " +
+          s"${dropped.getLong(0)} oversized buckets (${dropped.getLong(1)} rows)")
+      sized.filter(col("_bsz") <= c).drop("_bsz")
+  }
+
   /** MinHash + LSH near-duplicate pairs:
-    * shingle → minhash → band hashes → explode(bands) → self-join within
-    * (band, bandHash) buckets → distinct pairs → signature-estimate filter.
+    * shingle → minhash (NATIVE codegen expression — the compute-dense
+    * kernel) → band hashes (built-in slice+xxhash64, no UDF) →
+    * explode(bands) → self-join within (band, bandHash) buckets → distinct
+    * pairs → signature-estimate filter (zip_with, codegen'd).
     * Scale: the only shuffles are the bucket groupBy-join and the final
-    * distinct; no all-pairs comparison ever materializes.
+    * distinct; no all-pairs comparison ever materializes. `maxBucket`
+    * bounds the worst-case bucket (see [[capBuckets]]).
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, maxBucket: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigUdf = udf((s: String) => minhashSignature(s, shingleK, numHashes))
-    val bandUdf = udf((sig: Seq[Long]) =>
-      (0 until bands).map(b => mix(sig.slice(b * rows, (b + 1) * rows)
-        .foldLeft(17L)((acc, h) => acc * 31 + h))).toArray)
-    val estUdf = udf((a: Seq[Long], b: Seq[Long]) =>
-      estJaccard(a.toArray, b.toArray))
-
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", sigUdf(col("text")))
-      .withColumn("bandh", bandUdf(col("sig")))
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(col("bandh")).as(Seq("band", "bh")))
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.expressions.minhashSig(col(textCol), shingleK, numHashes)
+        .as("sig"))
+    val bandh = transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))
+    val banded = capBuckets(
+      sigs.select(col("id"), col("sig"), posexplode(bandh).as(Seq("band", "bh"))),
+      Seq("band", "bh"), maxBucket)
 
     val l = banded.select(col("band"), col("bh"),
       col("id").as("id1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bh"),
       col("id").as("id2"), col("sig").as("sig2"))
+    // est Jaccard = matching signature positions / numHashes — pure column
+    // expression, stays in whole-stage codegen
+    val est = aggregate(zip_with(col("sig1"), col("sig2"),
+      (x, y) => (x === y).cast("int")), lit(0), (acc, x) => acc + x)
+      .cast("double") / numHashes
     l.join(r, Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        estUdf(col("sig1"), col("sig2")).as("est_jaccard"))
+      .select(col("id1"), col("id2"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .groupBy("id1", "id2").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Recall-safe candidate pairs for a DOWNSTREAM EXACT verifier: one band
+    * per hash (rows=1), so a pair with true Jaccard j is missed with
+    * probability (1-j)^numHashes — ≤ 2^-64 at j ≥ 0.5, numHashes = 64.
+    * No estimate pre-filter (a binomial est can dip below any cutoff);
+    * the exact verify does all the filtering. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.expressions.minhashSig(col(textCol), shingleK, numHashes)
+        .as("sig"))
+    val banded = capBuckets(
+      sigs.select(col("id"), posexplode(col("sig")).as(Seq("band", "bh"))),
+      Seq("band", "bh"), maxBucket)
+    val l = banded.select(col("band"), col("bh"), col("id").as("id1"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("id2"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
   }
 
   /** n-gram Jaccard verification over candidate pairs: join texts back and
@@ -172,42 +221,65 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys — any
     * pair within Hamming distance 3 shares at least one exact band
-    * (pigeonhole) — join within bands, verify distance. */
+    * (pigeonhole) — join within bands, verify distance. Hamming distance
+    * is a pure column expression (bit_count(xor)); `maxBucket` guards the
+    * boilerplate-monster-bucket case. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val hdUdf = udf((a: Long, b: Long) => hamming(a, b))
+      maxHamming: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
     // native codegen'd expression — no UDF in the scan
     val sh = df.select(col(idCol).as("id"),
       graft.functions.expressions.simhash64(col(textCol)).as("sh"))
-    val banded = sh.select(col("id"), col("sh"), explode(array(
-      (0 until 4).map(b => struct(lit(b).as("band"),
-        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*
-    )).as("bk")).select(col("id"), col("sh"),
-      col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = capBuckets(
+      sh.select(col("id"), col("sh"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*
+      )).as("bk")).select(col("id"), col("sh"),
+        col("bk.band").as("band"), col("bk.key").as("key")),
+      Seq("band", "key"), maxBucket)
     val l = banded.select(col("band"), col("key"), col("id").as("id1"), col("sh").as("sh1"))
     val r = banded.select(col("band"), col("key"), col("id").as("id2"), col("sh").as("sh2"))
     l.join(r, Seq("band", "key"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), hdUdf(col("sh1"), col("sh2")).as("hamming"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy("id1", "id2").agg(min("hamming").as("hamming"))
   }
 
   // ---------- embedding near-dup ----------
 
-  /** Embedding cosine near-dup via random-hyperplane LSH: b seeded
-    * hyperplanes → sign bits → bucket join on the full signature →
-    * exact cosine verify. Vectors bucketed once; join is per-bucket. */
+  /** Embedding cosine near-dup via BANDED random-hyperplane LSH: `bits`
+    * sign bits (native codegen signature) split into `bands` sub-keys —
+    * near-identical vectors (cos ≥ minCosine ⇒ few sign-bit flips) share
+    * at least one band w.h.p. — join within (band, key) buckets, exact
+    * cosine verify.
+    *
+    * Scale shape (fixes r1's fixed-2^bits single-bucket-space join, which
+    * went quadratic in n): the bucket space is per-band 2^(bits/bands) and
+    * `bits` should grow with log2(n) so mean bucket size stays O(1);
+    * `maxBucket` bounds the adversarial case. Verification cost is the
+    * candidate count, never n². */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 12, minCosine: Double = 0.95, seed: Long = 42L): DataFrame = {
-    val sigUdf = udf((v: Seq[Float]) => Similarity.hyperplaneSig(v.toArray, bits, seed))
+      bits: Int = 32, bands: Int = 4, minCosine: Double = 0.95,
+      seed: Long = 42L, maxBucket: Option[Int] = None): DataFrame = {
+    require(bits % bands == 0 && bits <= 64, "bands must divide bits ≤ 64")
+    val rows = bits / bands
+    val mask = (1L << rows) - 1
     val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
       Similarity.cosine(a.toArray, b.toArray))
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", sigUdf(col("v")))
-    val l = sigs.select(col("sig"), col("id").as("id1"), col("v").as("v1"))
-    val r = sigs.select(col("sig"), col("id").as("id2"), col("v").as("v2"))
-    l.join(r, Seq("sig"))
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.expressions.hyperplaneSig(col(vecCol), bits, seed)
+        .as("sig"))
+    // shiftrightunsigned takes an Int literal shift — build per-band exprs
+    // and explode the array (bands is small and static)
+    val bandKeys = array((0 until bands).map(b =>
+      shiftrightunsigned(col("sig"), b * rows).bitwiseAND(lit(mask))): _*)
+    val banded = capBuckets(
+      sigs.select(col("id"), col("v"), posexplode(bandKeys).as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucket)
+    val l = banded.select(col("band"), col("key"), col("id").as("id1"), col("v").as("v1"))
+    val r = banded.select(col("band"), col("key"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("band", "key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         round(cosUdf(col("v1"), col("v2")), 4).as("cosine"))

@@ -57,16 +57,24 @@ object Similarity {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
-  /** Cosine of each row's vector against a literal query vector as a pure
-    * column expression (codegen'd — no UDF in the scan). */
-  def cosineToQuery(vecCol: Column, query: Array[Float]): Column = {
-    val q = array(query.map(x => lit(x)): _*)
-    val dot = aggregate(zip_with(vecCol, q, (a, b) => a * b),
+  /** Cosine between two array<float> COLUMNS as a pure column expression
+    * (codegen'd — no UDF in the scan). Elements are cast to double BEFORE
+    * multiplication so the arithmetic (double mult, sequential double
+    * fold) is bit-identical to an ANSI-SQL oracle's
+    * `list_dot_product(CAST(a AS DOUBLE[]), CAST(b AS DOUBLE[]))`. */
+  def cosineCols(v: Column, q: Column): Column = {
+    val vd = transform(v, x => x.cast("double"))
+    val qd = transform(q, x => x.cast("double"))
+    val dot = aggregate(zip_with(vd, qd, (a, b) => a * b),
       lit(0.0), (acc, x) => acc + x)
-    val n1 = aggregate(transform(vecCol, a => a * a), lit(0.0), (acc, x) => acc + x)
-    val n2 = lit(query.map(x => x.toDouble * x).sum)
+    val n1 = aggregate(transform(vd, a => a * a), lit(0.0), (acc, x) => acc + x)
+    val n2 = aggregate(transform(qd, a => a * a), lit(0.0), (acc, x) => acc + x)
     dot / sqrt(n1 * n2)
   }
+
+  /** Cosine against a literal query vector (same double-first arithmetic). */
+  def cosineToQuery(vecCol: Column, query: Array[Float]): Column =
+    cosineCols(vecCol, array(query.map(x => lit(x)): _*))
 
   /** Brute-force top-k by cosine to a query vector. */
   def topKBruteForce(df: DataFrame, idCol: String, vecCol: String,
@@ -76,24 +84,52 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
 
-  /** ANN top-k: LSH bucket + Hamming-1 multi-probe candidates, exact
-    * cosine rerank. `bits` trades recall (lower) vs candidate count. */
+  /** ANN top-k over an UNINDEXED frame: LSH bucket + Hamming-1 multi-probe
+    * candidates, exact cosine rerank. The signature is computed in the
+    * scan (native codegen expression, no UDF), so this PRUNES COMPUTE
+    * (cosine only for ~ (bits+1)/2^bits of rows) but still reads every
+    * vector — the IO-pruning path is [[indexVectors]] + [[topKIndexed]]. */
   def topKLsh(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, bits: Int = 10, seed: Long = 42L): DataFrame = {
     val qSig = hyperplaneSig(query, bits, seed)
     val probes = (qSig +: (0 until bits).map(b => qSig ^ (1L << b))).distinct
-    val sigUdf = udf((v: Seq[Float]) => hyperplaneSig(v.toArray, bits, seed))
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", sigUdf(col("v")))
-      .filter(col("sig").isin(probes: _*)) // bucket prune (pushable)
+      .withColumn("sig",
+        graft.functions.expressions.hyperplaneSig(col("v"), bits, seed))
+      .filter(col("sig").isin(probes: _*)) // compute prune, not IO prune
       .select(col("id"), round(cosineToQuery(col("v"), query), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
 
-  /** IVF-style variant: partition vectors into `nCells` buckets by
-    * signature prefix once (a write-side layout at scale), then search
-    * only the query's cell and its probes. Returned as (cell, id, cosine)
-    * for the queried cells — demonstrates the partition-pruned layout. */
+  /** IVF-ish cell of a signature: `nCells` coarse buckets. */
   def cellOf(sig: Long, nCells: Int): Int = math.floorMod(mix(sig), nCells.toLong).toInt
+
+  /** Write-side ANN layout: materialize each vector's hyperplane signature
+    * and store the table PARTITIONED BY signature cell. One-time build;
+    * queries then touch only the probe cells' files — partition pruning at
+    * the source, the layout a 100 TB vector store needs (per-cell file
+    * groups instead of a full scan per query). */
+  def indexVectors(df: DataFrame, idCol: String, vecCol: String,
+      path: String, bits: Int = 10, seed: Long = 42L): Unit =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig",
+        graft.functions.expressions.hyperplaneSig(col("v"), bits, seed))
+      .repartition(col("sig"))
+      .write.partitionBy("sig").mode("overwrite").parquet(path)
+
+  /** ANN top-k over an [[indexVectors]] layout: the probe-set filter is on
+    * the PARTITION column, so Spark's scan lists only probe directories —
+    * `PartitionFilters` in the plan, zero bytes read outside the probes
+    * (PlanSpec asserts this). Multi-probe: exact cell + Hamming-1. */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Float], k: Int, bits: Int = 10, seed: Long = 42L): DataFrame = {
+    val qSig = hyperplaneSig(query, bits, seed)
+    val probes = (qSig +: (0 until bits).map(b => qSig ^ (1L << b))).distinct
+    spark.read.parquet(path)
+      .filter(col("sig").isin(probes: _*)) // partition pruning (IO prune)
+      .select(col("id"), round(cosineToQuery(col("v"), query), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
 }

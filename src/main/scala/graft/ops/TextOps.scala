@@ -54,7 +54,9 @@ object TextOps {
   )
 
   /** Language-ID: marker-hit scoring, ties broken by profile order,
-    * fallback "und". Pure function of the text. */
+    * fallback "und". Pure function of the text. Marker counting is
+    * NON-overlapping (replace-and-measure semantics) so the operator has
+    * an exact ANSI-SQL oracle: (len(s)-len(replace(s,m,'')))/len(m). */
   def langIdOf(text: String): String = {
     val padded = " " + text.toLowerCase + " "
     val scores = langMarkers.map { case (lang, ms) =>
@@ -66,7 +68,7 @@ object TextOps {
 
   private def countOccurrences(s: String, sub: String): Int = {
     var c = 0; var i = s.indexOf(sub)
-    while (i >= 0) { c += 1; i = s.indexOf(sub, i + 1) }
+    while (i >= 0) { c += 1; i = s.indexOf(sub, i + sub.length) }
     c
   }
 

@@ -29,6 +29,30 @@ class ExprSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_sig / hyperplane_sig match their Scala kernels (codegen path)") {
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "t")
+    val rows = df.select(col("id"),
+      expressions.minhashSig(col("t"), 5, 64).as("sig"))
+      .orderBy("id").collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(rows(i).getSeq[Long](1) ==
+        Dedup.minhashSignature(t, 5, 64).toSeq)
+    }
+    val vecs = Seq((0L, Array(0.1f, -0.4f, 0.7f)), (1L, Array(-1f, 2f, -3f)))
+      .toDF("id", "v")
+    val sigs = vecs.select(col("id"),
+      expressions.hyperplaneSig(col("v"), 16, 42L).as("sig"))
+      .orderBy("id").collect()
+    assert(sigs(0).getLong(1) ==
+      graft.ops.Similarity.hyperplaneSig(Array(0.1f, -0.4f, 0.7f), 16, 42L))
+    assert(sigs(1).getLong(1) ==
+      graft.ops.Similarity.hyperplaneSig(Array(-1f, 2f, -3f), 16, 42L))
+    // no UDF node: both stay inside whole-stage codegen
+    val plan = df.select(expressions.minhashSig(col("t"), 5, 64))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("null propagates (UnaryExpression null-intolerance)") {
     val df = Seq(Some("x y z"), None).toDF("t")
     val out = df.select(expressions.simhash64(col("t")).as("sh")).collect()

@@ -72,15 +72,42 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.count(p => p.getAs[Long]("id2") - p.getAs[Long]("id1") == 7000) >= 4)
   }
 
-  test("embedding near-dup via hyperplane LSH finds planted twins") {
+  test("embedding near-dup via BANDED hyperplane LSH finds planted twins") {
     val twins = embeddings.limit(10)
       .withColumn("vec_id", col("vec_id") + 9000)
     val df = embeddings.limit(60).unionByName(twins)
     val pairs = Dedup.embeddingPairs(df, "vec_id", "embedding",
-      bits = 8, minCosine = 0.999)
+      bits = 32, bands = 4, minCosine = 0.999)
     val found = pairs.collect()
       .count(p => p.getAs[Long]("id2") - p.getAs[Long]("id1") == 9000)
-    assert(found == 10) // identical vectors share every bucket
+    assert(found == 10) // identical vectors share every band bucket
+  }
+
+  test("hot-bucket cap: 10k-identical-doc bucket is dropped, reported, bounded") {
+    // a boilerplate monster: 10k identical docs would emit ~10^8/2 pairs
+    // per shared (band,hash) bucket without the cap; with it, the join
+    // completes in bounded time and the planted near-dups among NORMAL
+    // docs still surface
+    val boiler = spark.range(0, 10000)
+      .select((col("id") + 100000).as("doc_id"),
+        lit("exactly the same license header forever and ever").as("text"))
+    val base = documents.select("doc_id", "text")
+    val nearDups = base.limit(6)
+      .withColumn("doc_id", col("doc_id") + 7000)
+      .withColumn("text", concat(col("text"), lit(" x")))
+    val df = base.limit(30).unionByName(nearDups).unionByName(boiler)
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 16, threshold = 0.5,
+      maxBucket = Some(100)).collect()
+    // no pair from the boiler cohort (its buckets were over the cap) …
+    assert(!pairs.exists(_.getAs[Long]("id1") >= 100000))
+    // … but the planted near-dups in small buckets are still found
+    assert(pairs.count(p =>
+      p.getAs[Long]("id2") - p.getAs[Long]("id1") == 7000) >= 4)
+    // simhash family honors the same guard
+    val sPairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 8,
+      maxBucket = Some(100)).collect()
+    assert(!sPairs.exists(_.getAs[Long]("id1") >= 100000))
   }
 
   // ---------- similarity ----------
@@ -106,6 +133,18 @@ class OpsSpec extends AnyFunSuite {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(approx.contains(7L)) // self lands in its own bucket
     assert(recall >= 0.3, s"recall $recall") // probed buckets only
+  }
+
+  test("indexed ANN: partition-pruned layout returns the same rows as the scan-path LSH") {
+    val q = embeddings.filter(col("vec_id") === 7)
+      .head().getSeq[Float](1).toArray
+    val idx = SparkTestSession.tmpDir("graft-annidx-")
+    Similarity.indexVectors(embeddings, "vec_id", "embedding", idx, bits = 8)
+    val indexed = Similarity.topKIndexed(spark, idx, q, 10, bits = 8)
+    val scanned = Similarity.topKLsh(embeddings, "vec_id", "embedding", q,
+      10, bits = 8)
+    assert(indexed.collect().map(_.toString).toSeq ==
+      scanned.collect().map(_.toString).toSeq)
   }
 
   // ---------- text ----------

@@ -63,6 +63,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k not sort-limited:\n$p")
   }
 
+  test("ann_lsh: probe filter reaches the scan as PARTITION pruning (IO prune)") {
+    val p = plan("ann_lsh")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("sig"), s"probe filter not pruning partitions:\n$p")
+    // the pruned scan must not also re-read every partition: the partition
+    // count in the scan is bounded by the probe set (bits+1 = 11 cells)
+    assert(!p.contains("PartitionFilters: []"), s"empty partition filter:\n$p")
+  }
+
+  test("q2/q3: customer broadcast comes from AQE at small SF, not a forced hint") {
+    // the hint was removed (customer grows with SF; forcing it OOMs at
+    // 100×) — at sf0.001 AQE must still pick a broadcast join on its own
+    val df = SparkEntry.queries("q2_join_agg")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast customer at tiny SF:\n${executed.take(2000)}")
+  }
+
   test("dedup_exact: single shuffle with partial aggregation") {
     val p = plan("dedup_exact")
     val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
