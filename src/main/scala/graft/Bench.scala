@@ -13,25 +13,21 @@ import graft.engine.Engine
   * sizes — N vs 4N real executor JVMs via local-cluster, the sandbox
   * evidence protocol for the north rule's two-cluster-size criterion —
   * plus the per-query wall times of the SparkEntry harness.
+  *
+  * Output: ONE bare JSON line, the FINAL line on stdout (build.sbt inherits
+  * forked stdout raw and suppresses sbt's success banner so the driver's
+  * parse sees clean JSON), plus a BENCH_LOCAL.json copy on disk.
   */
 object Bench {
-  /** local-cluster executor launch needs SPARK_HOME/SPARK_SCALA_VERSION in
-    * the process env (build.sbt sets them for sbt-forked runs; inject as a
-    * fallback when the harness launches us differently). */
-  private def ensureEnv(): Unit = {
-    val want = Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
-    if (want.keys.forall(k => sys.env.contains(k))) return
-    try {
-      val cls = Class.forName("java.lang.ProcessEnvironment")
-      val f = cls.getDeclaredField("theUnmodifiableEnvironment")
-      f.setAccessible(true)
-      val env = f.get(null).asInstanceOf[java.util.Map[String, String]]
-      val uf = Class.forName("java.util.Collections$UnmodifiableMap")
-        .getDeclaredField("m")
-      uf.setAccessible(true)
-      val m = uf.get(env).asInstanceOf[java.util.Map[String, String]]
-      want.foreach { case (k, v) => if (!m.containsKey(k)) m.put(k, v) }
-    } catch { case _: Throwable => () /* fall through; sbt path sets env */ }
+  /** local-cluster launches real executor processes and needs SPARK_HOME /
+    * SPARK_SCALA_VERSION in the env. build.sbt sets them for sbt-forked
+    * runs; anything else must provide them (fail fast, no env mutation). */
+  private def requireEnv(): Unit = {
+    val missing = Seq("SPARK_HOME", "SPARK_SCALA_VERSION")
+      .filterNot(sys.env.contains)
+    require(missing.isEmpty,
+      s"missing env ${missing.mkString(",")} — run via sbt (build.sbt sets " +
+        "them) or export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13")
   }
 
   private def newSession(cores: Int): SparkSession = {
@@ -56,9 +52,11 @@ object Bench {
   }
 
   /** One-time event materialization: the change-event tail as parquet (the
-    * realistic WAL-read shape; generation excluded from all timed runs). */
+    * realistic WAL-read shape; generation excluded from all timed runs).
+    * RAM-backed so both parallelism levels read at memory speed — the
+    * shared single disk is a sandbox artifact, not an engine property. */
   private def eventsDir(spark: SparkSession, n: Long): String = {
-    val dir = s"/tmp/graft-bench-events-$n"
+    val dir = s"/dev/shm/graft-bench/events-$n"
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))) {
       // wide key space: a 10^10-event feed spans millions of files, so a
       // micro-batch is mostly distinct keys (dup factor ~2) — post-dedup
@@ -92,13 +90,22 @@ object Bench {
     val spec = Catalog.fromTree(engine.loadRegistry("repos").get)
       .find(_.isRoot).get
     require(engine.table(spec).read().count() > 0)
-    // free the RAM-backed lake before the next run
-    scala.sys.process.Process(Seq("rm", "-rf", lake)).!
+    // free the RAM-backed lake before the next run (in-process walk)
+    deleteTree(java.nio.file.Paths.get(lake))
     secs
   }
 
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().forEachRemaining(x =>
+          java.nio.file.Files.deleteIfExists(x))
+      finally s.close()
+    }
+
   def main(args: Array[String]): Unit = {
-    ensureEnv()
+    requireEnv()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // batch size matters: a 1000-executor cluster feeds millions of events
@@ -109,14 +116,18 @@ object Bench {
     val batches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "1").toInt
 
     // --- per-query harness timings at full parallelism ---
+    val skipQueries = sys.env.get("GRAFT_BENCH_SKIP_QUERIES").contains("1")
     var spark = newSession(cpus)
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    val queryTimes =
+      if (skipQueries) Nil
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case _: Throwable => false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+      }
+    spark.stop()
 
     // --- CDC replay at N vs 4N EXECUTORS (scaling evidence) ---
     // local-cluster spawns real executor JVMs — the honest sandbox analog
@@ -130,7 +141,6 @@ object Bench {
     // run≈cpu, so the measurement reflects the ENGINE's parallel
     // behavior. AQE off here: per-stage materialization barriers
     // dominate at miniature batch sizes (it stays ON for the harness).
-    spark.stop()
     val execCores = sys.env.getOrElse("GRAFT_EXEC_CORES", "2").toInt
     def clusterSession(execs: Int): SparkSession = {
       java.nio.file.Files.createDirectories(
@@ -144,37 +154,57 @@ object Bench {
         .config("spark.executor.extraClassPath",
           new java.io.File("target/scala-2.13/classes").getAbsolutePath)
         .config("spark.local.dir", "/dev/shm/graft-bench/spark-local")
-        .config("spark.sql.shuffle.partitions", execs * execCores * 2)
+        .config("spark.sql.shuffle.partitions",
+          execs * execCores * sys.env.getOrElse("GRAFT_PART_MULT", "2").toInt)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.adaptive.enabled",
+          sys.env.getOrElse("GRAFT_BENCH_AQE", "false"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
       s
     }
-    // interleaved best-of-2 per level — the sandbox host shows
-    // intermittent CPU steal, so single samples are unreliable. A time
-    // budget skips round 2 rather than risking the harness timeout.
+    // Sampling plan vs host CPU steal (single samples swing 2x+ here):
+    // `rounds` passes, each pass = one session per level taking `samples`
+    // back-to-back replays (sessions are the expensive part — executor
+    // JVM spinup ~10s — so samples share them; interleaving across passes
+    // still decorrelates steal between levels). Best (min) wall per level
+    // wins; a time budget skips remaining samples rather than risking the
+    // harness timeout.
     val benchT0 = System.nanoTime()
     val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "420").toInt
+    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
+    val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "2").toInt
+    def withinBudget: Boolean =
+      (System.nanoTime() - benchT0) / 1e9 < budgetSecs
     var tLow = Double.MaxValue
     var tHigh = Double.MaxValue
     var warm = 0.0
-    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
+    var nLow = 0
+    var nHigh = 0
     (0 until rounds).foreach { round =>
-      if (round > 0 && (System.nanoTime() - benchT0) / 1e9 > budgetSecs) ()
-      else {
-      spark = clusterSession(1)
-      if (round == 0)
-        warm = replay(spark, math.min(nEvents / 4, 100000), 2, 16) // JIT warm
-      tLow = math.min(tLow, replay(spark, nEvents, batches, 32))
-      spark.stop()
-      spark = clusterSession(4)
-      if (round == 0)
-        replay(spark, math.min(nEvents / 4, 100000), 2, 16) // warm executors
-      tHigh = math.min(tHigh, replay(spark, nEvents, batches, 32))
-      spark.stop()
+      if (round == 0 || withinBudget) {
+        spark = clusterSession(1)
+        if (round == 0)
+          warm = replay(spark, math.min(nEvents / 4, 100000), 2, 16) // JIT warm
+        (0 until samples).foreach { i =>
+          if ((round == 0 && i == 0) || withinBudget) {
+            tLow = math.min(tLow, replay(spark, nEvents, batches, 32))
+            nLow += 1
+          }
+        }
+        spark.stop()
+        spark = clusterSession(4)
+        if (round == 0)
+          replay(spark, math.min(nEvents / 4, 100000), 2, 16) // warm executors
+        (0 until samples).foreach { i =>
+          if ((round == 0 && i == 0) || withinBudget) {
+            tHigh = math.min(tHigh, replay(spark, nEvents, batches, 32))
+            nHigh += 1
+          }
+        }
+        spark.stop()
       }
     }
     val epsLow = nEvents / tLow
@@ -183,13 +213,18 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
-    println(
+    val json =
       s"""{"metric":"cdc_events_per_sec","value":${f"$epsHigh%.1f"},""" +
       s""""unit":"events/sec","queries":$qs,"sf":"$sfDir",""" +
       s""""cdc":{"events":$nEvents,"batches":$batches,""" +
       s""""executors_low":1,"executors_high":4,"cores_per_executor":$execCores,""" +
       s""""secs_low":${f"$tLow%.2f"},"secs_high":${f"$tHigh%.2f"},""" +
+      s""""samples_low":$nLow,"samples_high":$nHigh,""" +
       s""""eps_low":${f"$epsLow%.1f"},"eps_high":${f"$epsHigh%.1f"},""" +
-      s""""scaling_efficiency":${f"$efficiency%.3f"},"warm":${f"$warm%.2f"}}}""")
+      s""""scaling_efficiency":${f"$efficiency%.3f"},"warm":${f"$warm%.2f"}}}"""
+    // file copy for post-hoc inspection; stdout line is the driver artifact
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    println(json)
   }
 }
