@@ -17,6 +17,7 @@ run / fork := true
 // the success banner so the bench's JSON line is clean, final stdout.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // local-cluster[...] (real executor JVMs — the scaling-evidence mode)
 // needs these to launch executors from the forked runner
 run / envVars ++= Map(

@@ -60,10 +60,15 @@ object Bench {
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))) {
       // wide key space: a 10^10-event feed spans millions of files, so a
       // micro-batch is mostly distinct keys (dup factor ~2) — post-dedup
-      // flatten/merge work dominates, which is what must scale
+      // flatten/merge work dominates, which is what must scale.
+      // FIXED 32-way partitioning: generating with the current session's
+      // defaultParallelism poisons the cache — events written under the
+      // 1-executor session produce 2 big files, which caps the (JSON-
+      // extraction-heavy) map stage at ~2 tasks and silently destroys the
+      // 4N level's scaling (this, not the engine, was round 1's recorded
+      // 0.546 efficiency)
       val p = EventGen.Params(nEvents = n, nRepos = 2000, pathsPerRepo = 500)
-      EventGen.events(spark, p,
-        partitions = spark.sparkContext.defaultParallelism)
+      EventGen.events(spark, p, partitions = 32)
         .toDF().write.mode("overwrite").parquet(dir)
     }
     dir
@@ -115,21 +120,12 @@ object Bench {
     val nEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "2000000").toLong
     val batches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "1").toInt
 
-    // --- per-query harness timings at full parallelism ---
-    val skipQueries = sys.env.get("GRAFT_BENCH_SKIP_QUERIES").contains("1")
-    var spark = newSession(cpus)
-    val queryTimes =
-      if (skipQueries) Nil
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-        } catch { case _: Throwable => false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
-    spark.stop()
-
     // --- CDC replay at N vs 4N EXECUTORS (scaling evidence) ---
+    // Runs FIRST, on a clean driver JVM: the 29-query harness phase
+    // leaves the driver with a churned heap (plan caches, AQE state,
+    // listener-bus backlog) whose GC pauses land on the scheduling
+    // critical path — measured as a 2-3x slowdown of the 4N level
+    // specifically (short stages, driver-bound) while N barely noticed.
     // local-cluster spawns real executor JVMs — the honest sandbox analog
     // of two cluster sizes (north rule: N and 4N executors). Executor
     // sizing 2 cores / 3g: on this single box the JSON/UTF8-heavy
@@ -154,8 +150,13 @@ object Bench {
         .config("spark.executor.extraClassPath",
           new java.io.File("target/scala-2.13/classes").getAbsolutePath)
         .config("spark.local.dir", "/dev/shm/graft-bench/spark-local")
+        // even a badly-partitioned input must split into enough read
+        // tasks to feed 4 executors (default 128m → 2 splits for a 233MB
+        // tail; the map side is the compute-dense JSON stage)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.shuffle.partitions",
-          execs * execCores * sys.env.getOrElse("GRAFT_PART_MULT", "2").toInt)
+          sys.env.get("GRAFT_PART_FIXED").map(_.toInt).getOrElse(
+            execs * execCores * sys.env.getOrElse("GRAFT_PART_MULT", "1").toInt))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled",
@@ -174,8 +175,11 @@ object Bench {
     // harness timeout.
     val benchT0 = System.nanoTime()
     val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "420").toInt
-    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
-    val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "2").toInt
+    // 3 temporally-separated windows × 1 sample beats 2 windows × 2:
+    // host steal arrives in multi-minute bursts, so window COUNT is what
+    // the min-taking needs
+    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
+    val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "1").toInt
     def withinBudget: Boolean =
       (System.nanoTime() - benchT0) / 1e9 < budgetSecs
     var tLow = Double.MaxValue
@@ -183,6 +187,7 @@ object Bench {
     var warm = 0.0
     var nLow = 0
     var nHigh = 0
+    var spark: SparkSession = null
     (0 until rounds).foreach { round =>
       if (round == 0 || withinBudget) {
         spark = clusterSession(1)
@@ -210,6 +215,26 @@ object Bench {
     val epsLow = nEvents / tLow
     val epsHigh = nEvents / tHigh
     val efficiency = epsHigh / (4.0 * epsLow)
+
+    // --- per-query harness timings at full parallelism (after the
+    // scaling measurement — see ordering note above) ---
+    val skipQueries = sys.env.get("GRAFT_BENCH_SKIP_QUERIES").contains("1")
+    val queryTimes =
+      if (skipQueries) Nil
+      else {
+        spark = newSession(cpus)
+        val times = SparkEntry.queries.toSeq.sortBy(_._1).map {
+          case (name, fn) =>
+            val t0 = System.nanoTime()
+            val ok = try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              true
+            } catch { case _: Throwable => false }
+            name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+        spark.stop()
+        times
+      }
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")

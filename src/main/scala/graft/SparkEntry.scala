@@ -186,14 +186,16 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleK = 5, numHashes = 64, bands = 16, threshold = 0.5)),
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      // recall-safe shape (rows=1 banding: a J≥0.5 pair is missed w.p.
-      // ≤ 2^-64) + exact shingle-Jaccard verify — which is why this one
-      // HAS a DuckDB all-pairs oracle despite being an LSH pipeline
+      // WORD 3-gram Jaccard (the C4/Gopher text-dedup shape — char
+      // shingles make same-language docs ~20% similar and LSH banding
+      // non-selective). Recall-safe candidates (r=2, b=48: a J≥0.5 pair
+      // missed w.p. ≤ 1.1e-6) + exact shingle-Jaccard verify — which is
+      // why this one HAS a DuckDB all-pairs oracle despite being LSH
       val docs = t(s, dir, "documents")
       val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
-        shingleK = 5, numHashes = 64)
+        numHashes = 96, rowsPerBand = 2, wordGrams = Some(3))
       Dedup.verifyJaccard(cand, docs, "doc_id", "text",
-        shingleK = 5, threshold = 0.5)
+        threshold = 0.5, wordGrams = Some(3))
     }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -225,11 +227,13 @@ object SparkEntry {
       // The single-row query-vector lookup is inherent to ANN: the probe
       // set must exist before planning to prune partitions.
       val q = queryVector(s, dir)
-      val idx = s"/tmp/graft-ann-idx-${math.abs(dir.hashCode)}-10"
+      // 8 signature bits = 256 partition cells: enough to show 28x IO
+      // pruning (9 probe cells) without a 1024-dir small-file write
+      val idx = s"/tmp/graft-ann-idx-${math.abs(dir.hashCode)}-8"
       if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(idx)))
         Similarity.indexVectors(t(s, dir, "embeddings"), "vec_id",
-          "embedding", idx, bits = 10)
-      Similarity.topKIndexed(s, idx, q, k = 20, bits = 10)
+          "embedding", idx, bits = 8)
+      Similarity.topKIndexed(s, idx, q, k = 20, bits = 8)
     }),
     "emb_norms" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -427,17 +431,21 @@ object SparkEntry {
         |ORDER BY cosine DESC, id
         |LIMIT 20""".stripMargin,
 
-    // all-pairs exact shingle Jaccard (feasible in DuckDB at verify SF):
-    // the Spark side's rows=1 banding misses a J≥0.5 pair w.p. ≤ 2^-64,
-    // so candidate-set ∩ threshold ≡ all-pairs ∩ threshold
+    // all-pairs exact WORD-3-gram Jaccard (feasible in DuckDB at verify
+    // SF): the Spark side's r=2/b=48 banding misses a J≥0.5 pair w.p.
+    // ≤ 1.1e-6, so candidate-set ∩ threshold ≡ all-pairs ∩ threshold
     "dedup_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(text) < 5 THEN [text]
-        |         ELSE list_distinct(list_transform(
-        |           range(1, length(text) - 3),
-        |           i -> substr(text, CAST(i AS INTEGER), 5))) END AS s
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
         |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |           range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s
+        |  FROM w),
         |pairs AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
         |    len(list_intersect(a.s, b.s)) AS inter,

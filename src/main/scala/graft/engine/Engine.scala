@@ -91,13 +91,12 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     val strings = docs.select(col(docCol).cast("string")).as[String]
     val partials = strings.rdd
       .mapPartitions { it =>
-        val docsIt = it.flatMap(s => Json.parseOpt(s))
-        val counted = counter match {
-          case Some(acc) => docsIt.map { d => acc.add(1L); d }
-          case None      => docsIt
-        }
-        val t = Infer.analyzeDocuments(entity, counted)
-        // skip doc-less partitions so treeReduce never sees an empty RDD
+        // STREAMING analyzer: Jackson tokens drive the tree directly —
+        // no per-doc AST (the AST's ~50 allocations/doc were the
+        // inference job's dominant GC/bandwidth load at 10^6-doc batches)
+        val t = Infer.analyzeDocumentsStream(entity, it,
+          n => counter.foreach(_.add(n)))
+        // skip doc-less partitions so the fold never widens on Unknown
         if (t.attributes(entity).dataType == graft.schema.DType.Unknown)
           Iterator.empty
         else Iterator.single(t)
@@ -145,38 +144,43 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       incremental: Boolean = false,
       opCol: Option[String] = None): ApplyStats = {
 
-    val idExpr: Column = coalesce(
-      get_json_object(col(docCol), "$._id"),
-      get_json_object(col(docCol), "$.id"))
-    val revExpr: Column = coalesce(
-      get_json_object(col(docCol), "$._rev"),
-      get_json_object(col(docCol), "$.rev"))
-
     val seqed = seqCol match {
       case Some(c) => docs.withColumn("_seq", col(c).cast("long"))
       case None    => docs.withColumn("_seq", monotonically_increasing_id())
     }
 
-    // Last-write-wins per key (BASELINE.json north-star): one row_number
-    // window over the event sequence dedups WITHIN the batch (real CDC
-    // batches carry many versions per hot key — dedup here shrinks all
-    // downstream flatten/write work by that factor). With a monotone
-    // seqCol (the WAL lsn) the winner's lsn also becomes the row's lake
-    // visibility seq, so LWW holds ACROSS batches even for late/out-of-
-    // order deliveries, and re-applying events is idempotent by content.
-    // The window shuffles on the fine-grained document key
-    // (repo|path|commit), so a hot REPO cannot skew a partition — the
-    // salted layout with a semantic salt.
+    // key + revision extraction in ONE streaming parse per event
+    // (json_tuple pulls all four candidate fields in a single Jackson
+    // pass; two get_json_object calls would parse every doc twice — this
+    // is the hottest map stage, it runs on every event BEFORE dedup)
+    val keyed = seqed
+      .select(col("*"), json_tuple(col(docCol), "_id", "id", "_rev", "rev")
+        .as(Seq("_jid0", "_jid1", "_jrev0", "_jrev1")))
+      .withColumn("_docid", coalesce(col("_jid0"), col("_jid1")))
+      .withColumn("_docrev", coalesce(col("_jrev0"), col("_jrev1")))
+      .drop("_jid0", "_jid1", "_jrev0", "_jrev1")
+
+    // Last-write-wins per key (BASELINE.json north-star): max_by(row, seq)
+    // hash-aggregation dedups WITHIN the batch (real CDC batches carry
+    // many versions per hot key — dedup here shrinks all downstream
+    // flatten/write work by that factor). A hash agg beats the
+    // row_number window two ways at scale: PARTIAL (map-side) combine
+    // drops duplicate versions before the shuffle — a hot key reduces to
+    // one row per map partition, so no salting is ever needed — and no
+    // per-partition sort. With a monotone seqCol (the WAL lsn) the
+    // winner's lsn also becomes the row's lake visibility seq, so LWW
+    // holds ACROSS batches even for late/out-of-order deliveries, and
+    // re-applying events is idempotent by content. The shuffle key is the
+    // fine-grained document key (repo|path|commit), so a hot REPO cannot
+    // skew a partition.
     val monotoneSeq = seqCol.isDefined
-    val w = Window.partitionBy(col("_docid")).orderBy(col("_seq").desc)
     // ONE persisted dedup result: upserts and deletes are both cheap
     // filters over this cache (persisting each separately would run the
-    // window shuffle twice per batch)
-    val latest = seqed
-      .withColumn("_docid", idExpr) // materialized ONCE, before the shuffle
-      .withColumn("_docrev", revExpr)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    // dedup shuffle twice per batch)
+    val latest = keyed
+      .groupBy(col("_docid"))
+      .agg(max_by(struct(keyed.columns.map(col): _*), col("_seq")).as("_w"))
+      .select(col("_w.*"))
       .persist()
 
     // op split: upserts vs delete tombstones (each keeps its event seq).

@@ -69,6 +69,27 @@ final case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature over WORD n-gram shingles (see
+  * [[graft.ops.Dedup.wordShingles]]) — the text-dedup variant whose
+  * banding stays selective on same-language corpora. */
+final case class WordMinHashSig(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(graft.ops.Dedup.wordMinhashSignature(
+      input.asInstanceOf[UTF8String].toString, n, numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.ops.Dedup.wordMinhashSignature($c.toString(), $n, $numHashes))")
+
+  override protected def withNewChildInternal(newChild: Expression): WordMinHashSig =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane sign-bit signature of an `array<float>` embedding
   * (see [[graft.ops.Similarity.hyperplaneSig]]) — native for the same
   * reason as [[MinHashSig]]: it runs once per vector in every LSH
@@ -98,6 +119,8 @@ object expressions {
     GraftBridge.column(Fingerprint64(GraftBridge.expression(c)))
   def minhashSig(c: Column, k: Int, numHashes: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), k, numHashes))
+  def wordMinhashSig(c: Column, n: Int, numHashes: Int): Column =
+    GraftBridge.column(WordMinHashSig(GraftBridge.expression(c), n, numHashes))
   def hyperplaneSig(c: Column, bits: Int, seed: Long): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(c), bits, seed))
 

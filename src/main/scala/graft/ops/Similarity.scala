@@ -63,12 +63,16 @@ object Similarity {
     * fold) is bit-identical to an ANSI-SQL oracle's
     * `list_dot_product(CAST(a AS DOUBLE[]), CAST(b AS DOUBLE[]))`. */
   def cosineCols(v: Column, q: Column): Column = {
-    val vd = transform(v, x => x.cast("double"))
-    val qd = transform(q, x => x.cast("double"))
-    val dot = aggregate(zip_with(vd, qd, (a, b) => a * b),
+    // casts INSIDE the fold lambdas: no intermediate double arrays get
+    // materialized per row (a transform() chain allocated 3-4 of them
+    // and doubled the scan cost)
+    val dot = aggregate(zip_with(v, q,
+      (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-    val n1 = aggregate(transform(vd, a => a * a), lit(0.0), (acc, x) => acc + x)
-    val n2 = aggregate(transform(qd, a => a * a), lit(0.0), (acc, x) => acc + x)
+    val n1 = aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val n2 = aggregate(q, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
     dot / sqrt(n1 * n2)
   }
 

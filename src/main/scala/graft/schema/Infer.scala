@@ -184,6 +184,133 @@ object Infer {
     root
   }
 
+  // ---- streaming analyzer (no AST) ----
+
+  private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
+  /** Streaming equivalent of `analyzeDocuments`: drives the attribute tree
+    * straight from Jackson tokens — no JValue AST is ever built. The AST
+    * path allocates ~50 objects per document (builders, vectors, field
+    * tuples, value wrappers); at 10^6-doc micro-batches that allocation
+    * traffic is the dominant GC/bandwidth load of the inference job and
+    * hits the many-core level hardest. Each document observes into a
+    * scratch tree that merges in only on success, so a malformed document
+    * is skipped whole (exactly like the parse-then-analyze path). */
+  def analyzeDocumentsStream(entity: String,
+      docs: Iterator[String],
+      counter: Long => Unit = _ => ()): Attr = {
+    val root = new Attr(entity, DType.Arr)
+    val elem = root.child(entity)
+    var n = 0L
+    while (docs.hasNext) {
+      val text = docs.next()
+      val scratch = new Attr(entity)
+      val ok =
+        try {
+          val p = jsonFactory.createParser(text)
+          try { p.nextToken(); observeParsed(scratch, p); true }
+          finally p.close()
+        } catch { case _: Exception => false }
+      if (ok) {
+        mergeInto(elem, scratch)
+        counter(1L)
+        n += 1
+      }
+    }
+    if (n > root.maxLength) root.maxLength = n
+    root
+  }
+
+  /** Token-driven mirror of [[observe]] (parser positioned ON the value).
+    * The AI injection uses insert-then-maybe-remove so the injected `ai`
+    * lands at the same attribute position as the reference's
+    * check-before-fields order (docMetadata.ts:52-58). */
+  private def observeParsed(attr: Attr,
+      p: com.fasterxml.jackson.core.JsonParser): Unit = {
+    import com.fasterxml.jackson.core.JsonToken._
+    p.currentToken() match {
+      case START_ARRAY =>
+        if (p.nextToken() == END_ARRAY) {
+          // empty array: JS object branch, with injected ai
+          if (attr.dataType != DType.Arr) attr.dataType = DType.Obj
+          val ai = attr.child("ai")
+          if (ai.dataType == DType.Unknown) ai.dataType = DType.Int
+        } else {
+          attr.dataType = DType.Arr // unconditional, docMetadata.ts:38
+          val elem = attr.child(attr.name)
+          var count = 0L
+          while (p.currentToken() != END_ARRAY) {
+            observeParsed(elem, p)
+            count += 1
+            p.nextToken()
+          }
+          if (count > attr.maxLength) attr.maxLength = count
+        }
+
+      case START_OBJECT =>
+        if (attr.dataType != DType.Arr) attr.dataType = DType.Obj
+        // the reference checks id/_id/ai on the WHOLE object and injects
+        // `ai` BEFORE iterating fields (docMetadata.ts:52-58); streaming
+        // can't know yet, so remember the pre-existing children and, if
+        // injection turns out needed, splice `ai` in at that position
+        // (before this doc's new children) — reproducing the insertion
+        // order exactly
+        val preKeys = attr.attributes.keySet.toSet
+        var sawOwnKey = false
+        while (p.nextToken() != END_OBJECT) {
+          val name = p.currentName()
+          val vTok = p.nextToken()
+          if ((name == "id" || name == "_id" || name == "ai") &&
+            vTok != VALUE_NULL) sawOwnKey = true
+          observeParsed(attr.child(name), p)
+        }
+        if (!sawOwnKey) {
+          val ai = attr.child("ai")
+          if (ai.dataType == DType.Unknown) ai.dataType = DType.Int
+          if (!preKeys.contains("ai")) {
+            // splice: pre-existing children, then ai, then new children
+            val entries = attr.attributes.toVector.filter(_._1 != "ai")
+            val (pre, post) = entries.partition(e => preKeys.contains(e._1))
+            attr.attributes.clear()
+            pre.foreach { case (k, v) => attr.attributes.put(k, v) }
+            attr.attributes.put("ai", ai)
+            post.foreach { case (k, v) => attr.attributes.put(k, v) }
+          }
+        }
+
+      case VALUE_STRING =>
+        val s = p.getText
+        val dt =
+          if (attr.name == "ai") DType.Int
+          else if (jsNumeric(s)) DType.Num
+          else if (isIso8601(s)) DType.Date
+          else DType.Str
+        if (attr.dataType == DType.Unknown) attr.dataType = dt
+        else if (attr.dataType != dt) attr.dataType = DType.Str
+        if (s.length > attr.maxLength) attr.maxLength = s.length
+
+      case VALUE_NUMBER_INT | VALUE_NUMBER_FLOAT =>
+        val dt = if (attr.name == "ai") DType.Int else DType.Num
+        if (attr.dataType == DType.Unknown) attr.dataType = dt
+        else if (attr.dataType != dt) attr.dataType = DType.Str
+
+      case VALUE_TRUE | VALUE_FALSE =>
+        val dt = if (attr.name == "ai") DType.Int else DType.Bool
+        if (attr.dataType == DType.Unknown) attr.dataType = dt
+        else if (attr.dataType != dt) attr.dataType = DType.Str
+
+      case VALUE_NULL =>
+        // null observes nothing (deriveDataType → Unknown) EXCEPT for an
+        // `ai` attribute, which the reference types int before deriving
+        if (attr.name == "ai") {
+          if (attr.dataType == DType.Unknown) attr.dataType = DType.Int
+          else if (attr.dataType != DType.Int) attr.dataType = DType.Str
+        }
+
+      case t => throw new IllegalArgumentException(s"unexpected JSON token $t")
+    }
+  }
+
   /** Join two independently-built trees — the widening lattice that makes
     * inference distributable (mapPartitions-fold then treeReduce).
     * Commutative/associative/idempotent; `a` is mutated and returned.

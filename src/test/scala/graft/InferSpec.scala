@@ -158,6 +158,29 @@ class InferSpec extends AnyFunSuite {
   // root maxLength is the per-call doc count — not part of any table/column
   private def stripRootMax(a: Attr): Attr = { a.maxLength = 0; a }
 
+  test("streaming analyzer ≡ AST analyzer (same tree, byte-identical registry JSON)") {
+    forSamples(Gen.listOfN(6, genDoc)) { ds =>
+      val texts = ds.map(Json.render)
+      val viaAst = Infer.analyzeDocuments("e", ds)
+      val viaStream = Infer.analyzeDocumentsStream("e", texts.iterator)
+      assert(Json.render(Infer.toJson(stripRootMax(viaStream))) ==
+        Json.render(Infer.toJson(stripRootMax(viaAst))))
+    }
+    // edge shapes the generator does not emit: empty array / empty object /
+    // ai field / null id / malformed doc skipped whole
+    val edge = Seq(
+      """{"id":"a","e":[],"o":{},"ai":3,"xs":[1,"2",true,null]}""",
+      """{"id":null,"v":{"ai":null}}""",
+      """{"id":"b","broken":""", // malformed: skipped entirely
+      """{"id":"c","n":"12.5","d":"2021-01-02"}""")
+    val good = edge.filterNot(_.endsWith("\"broken\":"))
+    val viaAst = Infer.analyzeDocuments("e",
+      good.flatMap(Json.parseOpt))
+    val viaStream = Infer.analyzeDocumentsStream("e", edge.iterator)
+    assert(Json.render(Infer.toJson(stripRootMax(viaStream))) ==
+      Json.render(Infer.toJson(stripRootMax(viaAst))))
+  }
+
   test("merge idempotence: t ⊔ t = t") {
     forSamples(Gen.listOfN(4, genDoc)) { ds =>
       val t1 = Infer.analyzeDocuments("e", ds)
