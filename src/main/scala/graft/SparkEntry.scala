@@ -274,7 +274,16 @@ object SparkEntry {
         .groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
     }),
 
-    // ---- the engine itself (not SQL-expressible → rows-only check) ----
+    // ---- streaming ops (same plan runs streaming or batch — this entry
+    // drives the batch side; StreamOpsSpec drives real micro-batches) ----
+    "stream_event_rate" -> ((s, dir) => {
+      val events = EventGen.events(s, entryParams, 8).toDF()
+      graft.streaming.StreamOps.eventRate(events, window = "1 minute")
+        .select(col("window.start").as("window_start"), col("repo"),
+          col("n_events"), col("n_deletes"))
+    }),
+
+    // ---- the engine itself ----
     "engine_replay" -> ((s, dir) => entry(s)),
   )
 
@@ -473,6 +482,17 @@ object SparkEntry {
         |  CASE WHEN i % 3 = 1 THEN 1 ELSE 3 END AS channels,
         |  CAST(2560 AS BIGINT) AS duration_ms
         |FROM range(0, 500) t(i)""".stripMargin,
+
+    // event-time tumbling windows ≡ DuckDB time_bucket on the same
+    // deterministic tail (Verify dumps it)
+    "stream_event_rate" ->
+      """SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+        |  json_extract_string(doc, '$.repo') AS repo,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deletes
+        |FROM read_parquet('__OUTDIR__/engine_events/*.parquet')
+        |GROUP BY 1, 2""".stripMargin,
 
     // marker-count heuristic, non-overlapping counts ⇒ replace-and-measure
     // is exact; first-max tie-break mirrors Scala maxBy profile order

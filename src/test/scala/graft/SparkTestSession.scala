@@ -11,6 +11,10 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // Spark 4.1's checksummed checkpoint file manager deadlocks in this
+      // sandbox (state-store delta writes await checksum futures that
+      // never complete) — stateful streaming needs it off here
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
