@@ -198,6 +198,46 @@ class EngineSpec extends AnyFunSuite {
     assert(rootCause(ex).getMessage.contains("seq domain"))
   }
 
+  test("hot-key dedup combines MAP-SIDE: shuffle records ≈ distinct keys, not events") {
+    // one pathological key carries 20k of 21k events. With the max_by
+    // hash aggregation, duplicate versions collapse in the partial agg
+    // BEFORE the shuffle — per-reducer load is bounded by DISTINCT keys
+    // (the reason no salting machinery exists anywhere in the engine).
+    // A row_number window would shuffle all 21k rows.
+    val (e, _) = newEngine()
+    val hot = spark.range(0, 20000).selectExpr(
+      "id AS lsn", "'update' AS op",
+      "timestamp'2024-01-01' AS ts",
+      """concat('{"id":"hot|f|c","rev":"', id, '","repo":"hot","content":"x"}') AS doc""")
+    val cold = spark.range(20000, 21000).selectExpr(
+      "id AS lsn", "'insert' AS op",
+      "timestamp'2024-01-01' AS ts",
+      """concat('{"id":"cold|f', id, '|c","rev":"1","repo":"cold","content":"y"}') AS doc""")
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffleRecords.addAndGet(
+            t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val stats = e.applyEvents("repos", hot.unionByName(cold), "skew:0")
+      Thread.sleep(2000) // listener bus drain (no public waitUntilEmpty)
+      assert(stats.dedupedDocs == 1001) // 1 hot + 1000 cold keys
+      // all shuffles together (dedup + merge repartitions) must move
+      // rows proportional to KEYS (~1001 × a few stages), nowhere near
+      // the 21k input events
+      assert(shuffleRecords.get < 5000,
+        s"map-side combine failed: ${shuffleRecords.get} records shuffled")
+      val root = readTable(e, "repos", "repos")
+      assert(root.count() == 1001)
+      assert(root.filter(col("ID") === "hot|f|c").head()
+        .getAs[String]("REV") == "19999") // max-lsn version won
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("out-of-order batches converge: late (lower-lsn) batch cannot clobber newer rows") {
     val (e, _) = newEngine()
     val p = EventGen.Params(nEvents = 600, nRepos = 8, pathsPerRepo = 6,

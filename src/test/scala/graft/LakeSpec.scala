@@ -150,6 +150,18 @@ class LakeSpec extends AnyFunSuite {
     assert(t.snapshot().version == snap.version)
   }
 
+  test("compacted table reads with ZERO exchanges (clean-bucket fast path)") {
+    val t = newTable(maxDeltas = 100)
+    (1 to 4).foreach(i => t.merge(df(s"k$i" -> i.toString), Seq("ID"), "ID", s"c$i"))
+    // pre-compaction: deltas need the merge-on-read window → shuffles
+    t.compactAll("compact:plan")
+    assert(t.snapshot().segments.forall(_.kind == "base"))
+    val plan = t.read().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"compacted read should be shuffle-free:\n$plan")
+    assert(t.read().count() == 4)
+  }
+
   test("exactly-once: same tag re-merge is a no-op; different tag applies") {
     val t = newTable()
     t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
