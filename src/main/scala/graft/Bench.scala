@@ -182,11 +182,9 @@ object Bench {
     val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "1").toInt
     def withinBudget: Boolean =
       (System.nanoTime() - benchT0) / 1e9 < budgetSecs
-    var tLow = Double.MaxValue
-    var tHigh = Double.MaxValue
+    val lows = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val highs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var warm = 0.0
-    var nLow = 0
-    var nHigh = 0
     var spark: SparkSession = null
     (0 until rounds).foreach { round =>
       if (round == 0 || withinBudget) {
@@ -194,24 +192,22 @@ object Bench {
         if (round == 0)
           warm = replay(spark, math.min(nEvents / 4, 100000), 2, 16) // JIT warm
         (0 until samples).foreach { i =>
-          if ((round == 0 && i == 0) || withinBudget) {
-            tLow = math.min(tLow, replay(spark, nEvents, batches, 32))
-            nLow += 1
-          }
+          if ((round == 0 && i == 0) || withinBudget)
+            lows += replay(spark, nEvents, batches, 32)
         }
         spark.stop()
         spark = clusterSession(4)
         if (round == 0)
           replay(spark, math.min(nEvents / 4, 100000), 2, 16) // warm executors
         (0 until samples).foreach { i =>
-          if ((round == 0 && i == 0) || withinBudget) {
-            tHigh = math.min(tHigh, replay(spark, nEvents, batches, 32))
-            nHigh += 1
-          }
+          if ((round == 0 && i == 0) || withinBudget)
+            highs += replay(spark, nEvents, batches, 32)
         }
         spark.stop()
       }
     }
+    val tLow = lows.min
+    val tHigh = highs.min
     val epsLow = nEvents / tLow
     val epsHigh = nEvents / tHigh
     val efficiency = epsHigh / (4.0 * epsLow)
@@ -244,7 +240,8 @@ object Bench {
       s""""cdc":{"events":$nEvents,"batches":$batches,""" +
       s""""executors_low":1,"executors_high":4,"cores_per_executor":$execCores,""" +
       s""""secs_low":${f"$tLow%.2f"},"secs_high":${f"$tHigh%.2f"},""" +
-      s""""samples_low":$nLow,"samples_high":$nHigh,""" +
+      s""""samples_low":${lows.map(x => f"$x%.2f").mkString("[", ",", "]")},""" +
+      s""""samples_high":${highs.map(x => f"$x%.2f").mkString("[", ",", "]")},""" +
       s""""eps_low":${f"$epsLow%.1f"},"eps_high":${f"$epsHigh%.1f"},""" +
       s""""scaling_efficiency":${f"$efficiency%.3f"},"warm":${f"$warm%.2f"}}}"""
     // file copy for post-hoc inspection; stdout line is the driver artifact

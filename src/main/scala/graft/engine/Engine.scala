@@ -149,16 +149,25 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       case None    => docs.withColumn("_seq", monotonically_increasing_id())
     }
 
-    // key + revision extraction in ONE streaming parse per event
-    // (json_tuple pulls all four candidate fields in a single Jackson
-    // pass; two get_json_object calls would parse every doc twice — this
-    // is the hottest map stage, it runs on every event BEFORE dedup)
-    val keyed = seqed
-      .select(col("*"), json_tuple(col(docCol), "_id", "id", "_rev", "rev")
-        .as(Seq("_jid0", "_jid1", "_jrev0", "_jrev1")))
-      .withColumn("_docid", coalesce(col("_jid0"), col("_jid1")))
-      .withColumn("_docrev", coalesce(col("_jrev0"), col("_jrev1")))
-      .drop("_jid0", "_jid1", "_jrev0", "_jrev1")
+    // key (+ revision, only when incr needs it) extraction in ONE
+    // streaming parse per event (json_tuple pulls all candidate fields in
+    // a single Jackson pass; per-field get_json_object calls would parse
+    // every doc once per field — this is the hottest map stage, it runs
+    // on every event BEFORE dedup)
+    val keyed =
+      if (incremental)
+        seqed
+          .select(col("*"), json_tuple(col(docCol), "_id", "id", "_rev", "rev")
+            .as(Seq("_jid0", "_jid1", "_jrev0", "_jrev1")))
+          .withColumn("_docid", coalesce(col("_jid0"), col("_jid1")))
+          .withColumn("_docrev", coalesce(col("_jrev0"), col("_jrev1")))
+          .drop("_jid0", "_jid1", "_jrev0", "_jrev1")
+      else
+        seqed
+          .select(col("*"), json_tuple(col(docCol), "_id", "id")
+            .as(Seq("_jid0", "_jid1")))
+          .withColumn("_docid", coalesce(col("_jid0"), col("_jid1")))
+          .drop("_jid0", "_jid1")
 
     // Last-write-wins per key (BASELINE.json north-star): max_by(row, seq)
     // hash-aggregation dedups WITHIN the batch (real CDC batches carry
