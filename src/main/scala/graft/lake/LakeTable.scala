@@ -399,11 +399,14 @@ final class LakeTable(val spark: SparkSession, val root: String,
     // of the same query — no separate pre-scan job, nothing persisted
     val obs = org.apache.spark.sql.Observation()
     val rel = f"data/c$ver%05dd"
+    // deltas are NOT sorted: they live ≤ maxDeltas merges before
+    // compaction rewrites them, and the merge-on-read resolution shuffles
+    // on the key anyway — only base segments (long-lived, read-heavy)
+    // pay for key-clustered layout
     up.observe(obs, collect_set(col(BucketCol)).as("buckets"),
         count(when(!col(DelCol), 1)).as("nup"),
         count(when(col(DelCol), 1)).as("ndel"))
       .repartition(numBuckets, col(BucketCol))
-      .sortWithinPartitions(keyCols.map(col): _*)
       .write.partitionBy(BucketCol).mode("overwrite")
       .parquet(dir.resolve(rel).toString)
     // AQE empty-propagation can eliminate the CollectMetrics node when the
