@@ -198,6 +198,34 @@ class EngineSpec extends AnyFunSuite {
     assert(rootCause(ex).getMessage.contains("seq domain"))
   }
 
+  test("maintain: compacts every table, expires old tombstones, vacuums orphans") {
+    val (e, root) = newEngine()
+    val p = EventGen.Params(nEvents = 400, nRepos = 6, pathsPerRepo = 4,
+      deletePct = 10)
+    val all = EventGen.events(spark, p, partitions = 2).toDF()
+    (0 until 4).foreach { b =>
+      e.applyEvents("repos",
+        all.filter(col("lsn") >= b * 100 && col("lsn") < (b + 1) * 100),
+        s"m:$b")
+    }
+    val spec = tablesOf(e, "repos").find(_.isRoot).get
+    val before = readTable(e, "repos", "repos").orderBy("ID")
+      .collect().map(_.toString).toSeq
+    // horizon beyond every lsn: all tombstones expire; grace 0 for test
+    e.maintain("repos", expireTombstonesBelow = Some(10000L),
+      vacuumGraceMs = 0L)
+    val snap = e.table(spec).snapshot()
+    assert(snap.segments.nonEmpty && snap.segments.forall(_.kind == "base"))
+    // no tombstone rows remain in the compacted base
+    val raw = spark.read.parquet(snap.segments.map(seg =>
+      s"$root/${spec.fullName}/${seg.path}"): _*)
+    assert(!raw.collect().exists(_.getAs[Boolean]("_gdel")))
+    // visible state unchanged by maintenance
+    val after = readTable(e, "repos", "repos").orderBy("ID")
+      .collect().map(_.toString).toSeq
+    assert(after == before && after.nonEmpty)
+  }
+
   test("hot-key dedup combines MAP-SIDE: shuffle records ≈ distinct keys, not events") {
     // one pathological key carries 20k of 21k events. With the max_by
     // hash aggregation, duplicate versions collapse in the partial agg

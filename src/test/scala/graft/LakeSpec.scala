@@ -150,6 +150,19 @@ class LakeSpec extends AnyFunSuite {
     assert(t.snapshot().version == snap.version)
   }
 
+  test("readBuckets: bucket-pruned scan returns exactly that bucket's keys") {
+    val t = newTable()
+    val keys = (1 to 40).map(i => s"k$i")
+    t.merge(keys.map(k => k -> "v").toDF("ID", "V"), Seq("ID"), "ID", "c1")
+    // ground truth via the table's own bucket expression
+    val withB = t.read().withColumn("_b", t.bucketExpr(col("ID")))
+    val b0 = withB.filter(col("_b") === 0).select("ID")
+      .collect().map(_.getString(0)).toSet
+    val pruned = t.readBuckets(Set(0)).select("ID")
+      .collect().map(_.getString(0)).toSet
+    assert(pruned == b0 && pruned.nonEmpty && pruned.size < keys.size)
+  }
+
   test("compacted table reads with ZERO exchanges (clean-bucket fast path)") {
     val t = newTable(maxDeltas = 100)
     (1 to 4).foreach(i => t.merge(df(s"k$i" -> i.toString), Seq("ID"), "ID", s"c$i"))
