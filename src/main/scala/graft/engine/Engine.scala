@@ -185,8 +185,12 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     val monotoneSeq = seqCol.isDefined
     // ONE persisted dedup result: upserts and deletes are both cheap
     // filters over this cache (persisting each separately would run the
-    // dedup shuffle twice per batch)
+    // dedup shuffle twice per batch). Events without id/_id violate the
+    // reference's contract (README.md:48) — dropped HERE, explicitly:
+    // letting them through would collapse every keyless event into one
+    // null-key group (silent data loss into a null-ID row).
     val latest = keyed
+      .filter(col("_docid").isNotNull)
       .groupBy(col("_docid"))
       .agg(max_by(struct(keyed.columns.map(col): _*), col("_seq")).as("_w"))
       .select(col("_w.*"))

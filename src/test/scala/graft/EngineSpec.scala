@@ -198,6 +198,24 @@ class EngineSpec extends AnyFunSuite {
     assert(rootCause(ex).getMessage.contains("seq domain"))
   }
 
+  test("keyless / malformed events are dropped, not silently merged into a null key") {
+    val (e, _) = newEngine()
+    val events = Seq(
+      (1L, "insert", """{"id":"good-1","rev":"1","v":"a"}"""),
+      (2L, "insert", """{"rev":"1","v":"keyless"}"""),  // contract violation
+      (3L, "insert", """{"id":"good-2","rev":"""),       // malformed JSON
+      (4L, "insert", """{"id":"good-3","rev":"1","v":"c"}"""),
+    ).toDF("lsn", "op", "doc")
+    val stats = e.applyEvents("q", events, "t:1")
+    val ids = readTable(e, "q", "q").collect()
+      .map(_.getAs[String]("ID")).toSet
+    // the keyless doc is gone; the malformed doc contributes no schema
+    // (inference skips it whole) and no usable row
+    assert(ids == Set("good-1", "good-3"))
+    assert(!ids.contains(null))
+    assert(stats.dedupedDocs <= 3)
+  }
+
   test("maintain: compacts every table, expires old tombstones, vacuums orphans") {
     val (e, root) = newEngine()
     val p = EventGen.Params(nEvents = 400, nRepos = 6, pathsPerRepo = 4,
