@@ -362,4 +362,42 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
         ()
       }
       .start()
+
+  /** Bootstrap from a TABLE SNAPSHOT (the north rule's input shape — an
+    * Iceberg-style table of source-code repositories, e.g.
+    * `(repo, path, commit, lang, content)`): each row becomes a document
+    * keyed by the `keyCols` joined with '|', loaded at `bootstrapLsn` so
+    * the subsequent CDC tail (whose lsns are larger) wins every conflict.
+    * This is the bootstrap-then-tail pattern: `bootstrap(...)` once, then
+    * `stream(...)`/`applyEvents(...)` from the WAL position the snapshot
+    * was taken at. */
+  def bootstrap(entity: String, table: DataFrame, keyCols: Seq[String],
+      commitTag: String, bootstrapLsn: Long = 0L): ApplyStats = {
+    require(keyCols.nonEmpty, "bootstrap needs at least one key column")
+    val idExpr = concat_ws("|", keyCols.map(col): _*)
+    val docs = table
+      .withColumn("_bid", idExpr)
+      .withColumn("doc", to_json(struct(
+        col("_bid").as("id") +: lit(bootstrapLsn.toString).as("rev") +:
+          table.columns.toSeq.map(col): _*)))
+      .withColumn("lsn", lit(bootstrapLsn))
+      .select("doc", "lsn")
+    load(entity, docs, "doc", commitTag, seqCol = Some("lsn"))
+  }
+
+  /** Register every table of an entity as a session temp view (MoR-
+    * resolved reads) so plain `spark.sql` queries the current state —
+    * what a reference user pointing BI/SQL at the output tables gets. */
+  def registerViews(entity: String, prefix: String = ""): Seq[String] =
+    loadRegistry(entity).toSeq.flatMap { tree =>
+      Catalog.fromTree(tree).flatMap { t =>
+        val lake = table(t)
+        if (!lake.exists()) None
+        else {
+          val name = s"$prefix${t.fullName}"
+          lake.read().createOrReplaceTempView(name)
+          Some(name)
+        }
+      }
+    }
 }

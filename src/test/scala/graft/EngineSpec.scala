@@ -198,6 +198,36 @@ class EngineSpec extends AnyFunSuite {
     assert(rootCause(ex).getMessage.contains("seq domain"))
   }
 
+  test("bootstrap-then-tail: snapshot at lsn 0, CDC events win; SQL views query current state") {
+    val (e, _) = newEngine()
+    // the north rule's input shape: a source-code repo table snapshot
+    val snapshot = Seq(
+      ("repo-a", "src/f1.scala", "c1", "scala", "v0 content a1"),
+      ("repo-a", "src/f2.scala", "c1", "scala", "v0 content a2"),
+      ("repo-b", "src/g1.py", "c2", "py", "v0 content b1"),
+    ).toDF("repo", "path", "commit", "lang", "content")
+    val s0 = e.bootstrap("repos", snapshot,
+      Seq("repo", "path", "commit"), "boot:0")
+    assert(s0.dedupedDocs == 3)
+
+    // the tail: update one file, delete another (lsns > bootstrap's 0)
+    val events = Seq(
+      (10L, "update",
+        """{"id":"repo-a|src/f1.scala|c1","rev":"10","repo":"repo-a","path":"src/f1.scala","commit":"c1","lang":"scala","content":"v1 UPDATED"}"""),
+      (11L, "delete", """{"id":"repo-b|src/g1.py|c2","rev":"11"}"""),
+    ).toDF("lsn", "op", "doc")
+    e.applyEvents("repos", events, "tail:0")
+
+    val views = e.registerViews("repos")
+    assert(views.contains("REPOS"))
+    val rows = spark.sql(
+      "SELECT ID, CONTENT FROM REPOS ORDER BY ID").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(rows.toSeq == Seq(
+      "repo-a|src/f1.scala|c1" -> "v1 UPDATED",
+      "repo-a|src/f2.scala|c1" -> "v0 content a2"))
+  }
+
   test("keyless / malformed events are dropped, not silently merged into a null key") {
     val (e, _) = newEngine()
     val events = Seq(
