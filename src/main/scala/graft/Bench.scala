@@ -175,31 +175,38 @@ object Bench {
     // harness timeout.
     val benchT0 = System.nanoTime()
     val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "420").toInt
-    // temporally-separated windows × 1 sample beat fewer windows × more
-    // samples: host steal arrives in multi-minute bursts, so window COUNT
-    // is what the min-taking needs; the budget guard sheds rounds when
-    // the box is slow, so 4 is safe against the harness timeout
-    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "4").toInt
-    val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "1").toInt
+    // 2 rounds × 2 back-to-back samples: within one session samples are
+    // FLAT (warm executors) — measured: lows 43.2/39.6/42.1, highs
+    // 13.7/12.5/12.7 — while cross-session windows pay a fresh-JVM tax
+    // even after a warm-up replay. Two windows per level still
+    // decorrelate multi-minute steal bursts; the budget guard sheds
+    // samples when the box is slow
+    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
+    val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "2").toInt
     def withinBudget: Boolean =
       (System.nanoTime() - benchT0) / 1e9 < budgetSecs
     val lows = scala.collection.mutable.ArrayBuffer.empty[Double]
     val highs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var warm = 0.0
     var spark: SparkSession = null
+    // EVERY session gets a warm-up replay: executor JVMs are fresh per
+    // session and an unJITed engine runs 40-50% slower (measured — warming
+    // only round 0's sessions made every later window useless: highs went
+    // 13.7 → 21 s purely from cold executors, not host steal)
+    def warmUp(s: SparkSession): Double =
+      replay(s, math.min(nEvents / 20, 100000), 1, 32)
     (0 until rounds).foreach { round =>
       if (round == 0 || withinBudget) {
         spark = clusterSession(1)
-        if (round == 0)
-          warm = replay(spark, math.min(nEvents / 4, 100000), 2, 16) // JIT warm
+        val w = warmUp(spark)
+        if (round == 0) warm = w
         (0 until samples).foreach { i =>
           if ((round == 0 && i == 0) || withinBudget)
             lows += replay(spark, nEvents, batches, 32)
         }
         spark.stop()
         spark = clusterSession(4)
-        if (round == 0)
-          replay(spark, math.min(nEvents / 4, 100000), 2, 16) // warm executors
+        warmUp(spark)
         (0 until samples).foreach { i =>
           if ((round == 0 && i == 0) || withinBudget)
             highs += replay(spark, nEvents, batches, 32)
