@@ -31,7 +31,7 @@ final case class ApplyStats(
   *
   * Where the reference re-analyzes the batch on one Node thread and merges
   * one row per SQL round-trip, every stage here is a Spark job: inference
-  * is a `mapPartitions` fold + `treeReduce` over the widening lattice
+  * is a streaming per-partition fold merged through the widening lattice
   * (commutative/associative/idempotent, so partition order is immaterial),
   * and each table's upsert is a single set-oriented merge.
   */
