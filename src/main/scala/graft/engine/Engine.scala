@@ -13,7 +13,11 @@ import graft.lake.LakeTable
 import graft.schema.{Attr, Infer, Json}
 
 /** Per-apply metrics (the rebuild's applied-event accounting; per-bucket
-  * lineage lives in each LakeTable snapshot). */
+  * lineage lives in each LakeTable snapshot). `dedupedDocs` and
+  * `skippedUnchanged` ride accumulators inside the inference job's tasks,
+  * so a retried or speculated task can inflate them slightly — they are
+  * throughput metrics; the exactly-once ledger is the lake lineage
+  * (Observation on the write itself). */
 final case class ApplyStats(
     batchEvents: Long,
     dedupedDocs: Long,
@@ -84,17 +88,32 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     * tree, then a lattice-merge treeReduce. One pass over the batch; no
     * documents are collected to the driver. `counter`, when given, tallies
     * the parsed docs inside the same job — the batch-size metric comes for
-    * free instead of costing a separate count() action. */
+    * free instead of costing a separate count() action.
+    *
+    * `skipCol` (incr): rows whose boolean marker is true are NOT analyzed;
+    * they are tallied into `skipCounter` instead — the revision-skip count
+    * rides the inference job too (no separate count() action, verdict:
+    * metrics-grade counters; see the drift note on [[ApplyStats]]). */
   def inferBatch(entity: String, docs: DataFrame, docCol: String,
-      counter: Option[org.apache.spark.util.LongAccumulator] = None): Attr = {
+      counter: Option[org.apache.spark.util.LongAccumulator] = None,
+      skipCol: Option[String] = None,
+      skipCounter: Option[org.apache.spark.util.LongAccumulator] = None): Attr = {
     import spark.implicits._
-    val strings = docs.select(col(docCol).cast("string")).as[String]
-    val partials = strings.rdd
+    val rows = skipCol match {
+      case Some(sc) => docs.select(col(docCol).cast("string"),
+        coalesce(col(sc), lit(false))).as[(String, Boolean)]
+      case None => docs.select(col(docCol).cast("string"), lit(false))
+        .as[(String, Boolean)]
+    }
+    val partials = rows.rdd
       .mapPartitions { it =>
         // STREAMING analyzer: Jackson tokens drive the tree directly —
         // no per-doc AST (the AST's ~50 allocations/doc were the
         // inference job's dominant GC/bandwidth load at 10^6-doc batches)
-        val t = Infer.analyzeDocumentsStream(entity, it,
+        val live = it.flatMap { case (doc, skip) =>
+          if (skip) { skipCounter.foreach(_.add(1L)); None } else Some(doc)
+        }
+        val t = Infer.analyzeDocumentsStream(entity, live,
           n => counter.foreach(_.add(n)))
         // skip doc-less partitions so the fold never widens on Unknown
         if (t.attributes(entity).dataType == graft.schema.DType.Unknown)
@@ -197,10 +216,13 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       .persist()
 
     // op split: upserts vs delete tombstones (each keeps its event seq).
-    // Explicit deleteIds under the lsn domain need a delete lsn (a
-    // commit-seq default would never shadow lsn-visibility rows —
-    // mixed-domain merges are rejected by the lake): use the batch's max
-    // observed lsn; without a monotone seq the lake's commit seq applies.
+    // Explicit deleteIds under the lsn domain MUST carry a per-key delete
+    // lsn as a second column — guessing one (e.g. the batch's max doc lsn)
+    // silently mis-orders deletes: a delete-only batch would stamp lsn 0
+    // (never shadowing anything), and a stale delete would inherit the
+    // newest lsn and kill same-batch upserts. The lake's merge enforces
+    // the same contract (LakeTable.merge rejects lsn-domain deletes
+    // without a seq column).
     var deduped = opCol match {
       case Some(c) => latest.filter(col(c) =!= "delete")
       case None    => latest
@@ -209,12 +231,17 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       latest.filter(col(c) === "delete")
         .select(col("_docid"), col("_seq"))
     }
-    lazy val maxSeenSeq: Long = Option(
-      latest.agg(max(col("_seq"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val explicitDel: Option[DataFrame] = deleteIds.map { a =>
-      val seqExpr = if (monotoneSeq) lit(maxSeenSeq) else lit(null).cast("long")
-      a.toDF("_docid").withColumn("_seq", seqExpr)
+      if (monotoneSeq) {
+        require(a.columns.length >= 2,
+          s"deleteIds under a monotone seqCol needs (key, deleteLsn) " +
+            s"columns — got ${a.columns.mkString("(", ",", ")")}; a guessed " +
+            "lsn would silently mis-order deletes against same-key upserts")
+        a.select(col(a.columns(0)).cast("string").as("_docid"),
+          col(a.columns(1)).cast("long").as("_seq"))
+      } else
+        a.select(col(a.columns(0)).cast("string").as("_docid"))
+          .withColumn("_seq", lit(null).cast("long"))
     }
     val allDeletes: Option[DataFrame] = (explicitDel, delFromOps) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
@@ -223,13 +250,15 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     }
 
     try {
-      var skipped = 0L
       val prior = loadRegistry(entity)
 
       // incr (index.ts:43-72): skip docs whose (ID, REV) is already in the
-      // root table — anti-join replaces the driver-side revision Map
-      // (sqlDML.ts:27-93); the join broadcasts under AQE when small
-      var preSkipCount: Option[DataFrame] = None
+      // root table — a MARKER left-join replaces the driver-side revision
+      // Map (sqlDML.ts:27-93); the join broadcasts under AQE when small.
+      // Matched rows stay in the frame (marker true) so the inference job
+      // can tally them as skipped in the SAME pass — no anti-join-plus-
+      // count() pair of jobs per incr batch.
+      var skipMarked = false
       if (incremental) {
         prior.foreach { tree =>
           val tables = Catalog.fromTree(tree)
@@ -238,22 +267,33 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
           if (lake.exists() && lake.snapshot().segments.nonEmpty &&
             lake.snapshot().schema.fieldNames.contains("REV")) {
             val existing = lake.read().select(
-              col("ID").as("_docid"), col("REV").as("_docrev"))
-            preSkipCount = Some(deduped) // cheap re-count off the cache
+              col("ID").as("_docid"), col("REV").as("_docrev"),
+              lit(true).as("_gskip"))
             deduped = deduped
-              .join(existing, Seq("_docid", "_docrev"), "left_anti")
+              .join(existing, Seq("_docid", "_docrev"), "left")
+            skipMarked = true
           }
         }
       }
 
       // 1-2: inference + registry widen (docMetadata/sqlMetadata stages).
-      // The SAME job materializes the window-dedup cache and tallies the
-      // surviving doc count (accumulator) — no standalone count() actions
-      // on the hot path (metrics-grade: task retries could double-count).
+      // The SAME job materializes the window-dedup cache and tallies both
+      // the surviving and the revision-skipped doc counts (accumulators) —
+      // no standalone count() actions on the hot path. Metrics grade:
+      // accumulator adds happen in a transformation, so a retried /
+      // speculated task can double-count — dedupedDocs/skippedUnchanged
+      // are throughput metrics, not exactly-once ledger entries (the
+      // lake's Observation-backed lineage is); the == 0 branch below is
+      // safe because retries can only inflate a genuinely non-zero count.
       val dedupAcc = spark.sparkContext.longAccumulator("graft.dedupedDocs")
-      val batchTree = inferBatch(entity, deduped, docCol, Some(dedupAcc))
+      val skipAcc = spark.sparkContext.longAccumulator("graft.skippedDocs")
+      val batchTree = inferBatch(entity, deduped, docCol, Some(dedupAcc),
+        skipCol = if (skipMarked) Some("_gskip") else None,
+        skipCounter = Some(skipAcc))
       val dedupedDocs = dedupAcc.value.longValue
-      skipped = preSkipCount.map(_.count() - dedupedDocs).getOrElse(0L)
+      val skipped = math.max(0L, skipAcc.value.longValue)
+      if (skipMarked) deduped = deduped.filter(col("_gskip").isNull)
+        .drop("_gskip")
 
       if (dedupedDocs == 0 && (allDeletes.isEmpty || prior.isEmpty))
         // nothing to upsert; deletes can only touch existing tables

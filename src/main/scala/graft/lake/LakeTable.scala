@@ -357,6 +357,12 @@ final class LakeTable(val spark: SparkSession, val root: String,
       s"table $name uses seq domain '${s.seqDomain}' but this merge is " +
         s"'$domain' — mixed visibility domains would corrupt last-write-wins")
 
+    // a named-but-absent row seq column would silently fall back to the
+    // commit seq while the merge pins seqDomain='lsn' — exactly the
+    // domain mix the guard above exists to reject; fail instead
+    require(rowSeqCol.forall(updates.columns.contains),
+      s"table $name: rowSeqCol ${rowSeqCol.get} is not a column of the " +
+        s"updates frame ${updates.columns.mkString("(", ",", ")")}")
     val target = s.schema
     val metaTarget = withMeta(target)
     val newSeq = s.version + 1L

@@ -129,29 +129,65 @@ object Dedup {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
-  /** Hot-bucket guard shared by every LSH family: drop (or keep) bucket
-    * groups larger than `cap`. A (band,hash) bucket of size b emits b²
-    * candidate pairs — at web scale, boilerplate-heavy corpora produce
-    * monster buckets (the same license header in 10M files) that would
-    * otherwise go quadratic. Oversized buckets carry almost no dedup
-    * signal (everything in them is near-identical to everything else), so
-    * the standard move is to cap and report. The count rides the SAME
-    * partitioning the join needs (one window, no extra shuffle). */
+  /** The default hot-bucket cap: far above any honest bucket (a healthy
+    * LSH layout keeps mean bucket size O(1)), so only boilerplate
+    * monsters trip it. Callers pass `None` to explicitly opt out. */
+  val DefaultMaxBucket: Option[Int] = Some(10000)
+
+  private val capDropSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val capReporterSessions = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Fire-and-forget cap-drop reporting: one per-session
+    * QueryExecutionListener that logs any `graft.capdrop.*` observed
+    * metric when the query actually executes. Registered lazily the first
+    * time a capped plan is built for a session. */
+  private def ensureCapReporter(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (capReporterSessions.add(spark))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft.capdrop.") && !row.isNullAt(0) &&
+                row.getLong(0) > 0L)
+                System.err.println(s"[graft.dedup] bucket cap ${row.getLong(2)}: " +
+                  s"dropped ${row.getLong(0)} rows in oversized buckets " +
+                  s"(largest bucket ${row.getLong(1)})")
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+
+  /** Hot-bucket guard shared by every LSH family: drop bucket groups
+    * larger than `cap`. A (band,hash) bucket of size b emits b² candidate
+    * pairs — at web scale, boilerplate-heavy corpora produce monster
+    * buckets (the same license header in 10M files) that would otherwise
+    * go quadratic. Oversized buckets carry almost no dedup signal
+    * (everything in them is near-identical to everything else), so the
+    * standard move is to cap and report — ON BY DEFAULT
+    * ([[DefaultMaxBucket]]); `None` is the explicit opt-out.
+    *
+    * No silent truncation, no extra job: the bucket-size window rides the
+    * same (band,key) partitioning the join needs, and the dropped-row
+    * count is an `observe` metric logged by a QueryExecutionListener when
+    * the plan runs (an eager count here would cost one Spark job per
+    * dedup call even when nothing exceeds the cap). */
   private def capBuckets(banded: DataFrame, keyCols: Seq[String],
       cap: Option[Int]): DataFrame = cap match {
     case None => banded
     case Some(c) =>
+      ensureCapReporter(banded.sparkSession)
       val w = Window.partitionBy(keyCols.map(col): _*)
-      val sized = banded.withColumn("_bsz", count(lit(1)).over(w))
-      // no silent truncation: report what the cap dropped (one small agg
-      // job — only runs when a cap is configured)
-      val dropped = sized.filter(col("_bsz") > c)
-        .agg(coalesce(countDistinct(struct(keyCols.map(col): _*)), lit(0L)),
-          count(lit(1))).head()
-      if (dropped.getLong(1) > 0)
-        System.err.println(s"[graft.dedup] bucket cap $c: dropped " +
-          s"${dropped.getLong(0)} oversized buckets (${dropped.getLong(1)} rows)")
-      sized.filter(col("_bsz") <= c).drop("_bsz")
+      banded.withColumn("_bsz", count(lit(1)).over(w))
+        .observe(s"graft.capdrop.${capDropSeq.incrementAndGet()}",
+          coalesce(sum(when(col("_bsz") > c, 1L)), lit(0L)).as("dropped_rows"),
+          coalesce(max(col("_bsz")), lit(0L)).as("max_bucket"),
+          lit(c.toLong).as("cap"))
+        .filter(col("_bsz") <= c).drop("_bsz")
   }
 
   /** MinHash + LSH near-duplicate pairs:
@@ -165,7 +201,7 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6, maxBucket: Option[Int] = None): DataFrame = {
+      threshold: Double = 0.6, maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = df.select(col(idCol).as("id"),
@@ -205,7 +241,7 @@ object Dedup {
     * the junk-collision rate to j² ≈ 0.25%. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 96, rowsPerBand: Int = 2,
-      maxBucket: Option[Int] = None, wordGrams: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = DefaultMaxBucket, wordGrams: Option[Int] = None): DataFrame = {
     require(numHashes % rowsPerBand == 0, "rowsPerBand must divide numHashes")
     val bands = numHashes / rowsPerBand
     val sigExpr = wordGrams match {
@@ -298,7 +334,7 @@ object Dedup {
     * is a pure column expression (bit_count(xor)); `maxBucket` guards the
     * boilerplate-monster-bucket case. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
     // native codegen'd expression — no UDF in the scan
     val sh = df.select(col(idCol).as("id"),
       graft.functions.expressions.simhash64(col(textCol)).as("sh"))
@@ -334,12 +370,10 @@ object Dedup {
     * candidate count, never n². */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       bits: Int = 32, bands: Int = 4, minCosine: Double = 0.95,
-      seed: Long = 42L, maxBucket: Option[Int] = None): DataFrame = {
+      seed: Long = 42L, maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
     require(bits % bands == 0 && bits <= 64, "bands must divide bits ≤ 64")
     val rows = bits / bands
     val mask = (1L << rows) - 1
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-      Similarity.cosine(a.toArray, b.toArray))
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       graft.functions.expressions.hyperplaneSig(col(vecCol), bits, seed)
         .as("sig"))
@@ -354,8 +388,10 @@ object Dedup {
     val r = banded.select(col("band"), col("key"), col("id").as("id2"), col("v").as("v2"))
     l.join(r, Seq("band", "key"))
       .filter(col("id1") < col("id2"))
+      // exact verify as a pure column expression (double-first folds, no
+      // UDF in the join output — and bit-matchable by an ANSI oracle)
       .select(col("id1"), col("id2"),
-        round(cosUdf(col("v1"), col("v2")), 4).as("cosine"))
+        round(Similarity.cosineCols(col("v1"), col("v2")), 4).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .groupBy("id1", "id2").agg(max("cosine").as("cosine"))
   }
