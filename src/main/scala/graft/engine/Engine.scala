@@ -306,70 +306,83 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       }
       if (dedupedDocs > 0) saveRegistry(entity, registry)
 
-      // 3-4: DDL — create or evolve each lake table (sqlDDL createTables /
-      // alterTables; additive + widening only)
-      val tables = Catalog.fromTree(registry)
-      tables.foreach { t =>
-        val lake = table(t)
-        if (!lake.exists()) lake.create(t.schema, t.keyColumns, rootKeyOf(t))
-        else lake.evolve(t.schema, t.keyColumns, rootKeyOf(t))
-      }
-
-      // 5: flatten + set-oriented merge per table, root first. The parsed
-      // struct column is CACHED once — every table's explode chain reads
-      // it instead of re-running from_json per table
-      val rootElem = registry.attributes(registry.name)
-      val schema = Flattener.readSchema(rootElem)
+      // 3-5: DDL + flatten + per-table merges (shared with the bootstrap
+      // fast path). The parsed struct column is CACHED once — every
+      // table's explode chain reads it instead of re-running from_json
+      val schema = Flattener.readSchema(registry.attributes(registry.name))
       val parsed = deduped
         .select(col("_docid"), col("_seq"),
           from_json(col(docCol), schema).as("_gdoc"))
         .persist()
+      val (nTables, nDel) =
+        try mergeParsed(registry, parsed, commitTag, allDeletes, monotoneSeq)
+        finally parsed.unpersist()
 
-      // per-table merges run CONCURRENTLY (independent lake tables, like
-      // the reference's per-table DDL fan-out, sqlDDL.ts:453-480) — Spark
-      // schedules the jobs from separate threads and fills idle cores;
-      // exactly-once holds per table via the shared commit tag
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      // the applied-delete count comes from the ROOT table's merge lineage
-      // (its Observation already counted tombstones) — not a count() job
-      var nDel = 0L
-      try {
-        val parallelMerge = sys.env.getOrElse("GRAFT_PAR_MERGE", "1") != "0"
-        def mergeOne(t: TableSpec): Unit = {
-          // within-doc duplicate keys need a dedup window ONLY for ID-keyed
-          // tables under an array (two elements may share an id —
-          // reference's serial MERGE makes the last win, sqlDML.ts:519-545);
-          // root rows are unique per batch dedup and AI keys are positions
-          val needsKeyDedup = !t.isRoot && t.tablePk == "ID" &&
-            t.path.exists(_.isArray)
-          val raw = Flattener.tableFrame(parsed, rootElem, tables, t,
-            col("_gdoc"), extraCols = Seq("_seq"), withOrd = needsKeyDedup)
-          val frame =
-            if (!needsKeyDedup) raw
-            else raw
-              .withColumn("_krn", row_number().over(Window
-                .partitionBy(t.keyColumns.map(col): _*)
-                .orderBy(col("_seq").desc, col("_gord").desc)))
-              .filter(col("_krn") === 1)
-              .drop("_krn", "_gord")
-          val snap = table(t).merge(frame, t.keyColumns, rootKeyOf(t),
-            commitTag, deleteRootKeys = allDeletes,
-            rowSeqCol = if (monotoneSeq) Some("_seq") else None)
-          if (t.isRoot)
-            nDel = snap.lineage.lastOption.filter(_.tag == commitTag)
-              .map(_.deleted).getOrElse(0L)
-          ()
-        }
-        if (parallelMerge)
-          Await.result(Future.sequence(tables.map(t => Future(mergeOne(t)))),
-            Duration.Inf)
-        else tables.foreach(mergeOne)
-      } finally parsed.unpersist()
-
-      ApplyStats(dedupedDocs + nDel, dedupedDocs, nDel, skipped, tables.size)
+      ApplyStats(dedupedDocs + nDel, dedupedDocs, nDel, skipped, nTables)
     } finally latest.unpersist()
+  }
+
+  /** Steps 3-5 of an apply, shared by [[load]] and the bootstrap fast
+    * path: DDL (create/evolve each lake table), flatten via explode
+    * chains, then set-oriented bucket-pruned merges. `parsed` must carry
+    * `_docid`, `_seq` and a `_gdoc` struct matching
+    * `Flattener.readSchema(registry)` — `from_json`'d on the tail path,
+    * struct-built on the bootstrap path. Returns (tables, root deletes).
+    */
+  private def mergeParsed(registry: Attr, parsed: DataFrame,
+      commitTag: String, allDeletes: Option[DataFrame],
+      monotoneSeq: Boolean): (Int, Long) = {
+    val tables = Catalog.fromTree(registry)
+    // 3-4: DDL — create or evolve each lake table (sqlDDL createTables /
+    // alterTables; additive + widening only)
+    tables.foreach { t =>
+      val lake = table(t)
+      if (!lake.exists()) lake.create(t.schema, t.keyColumns, rootKeyOf(t))
+      else lake.evolve(t.schema, t.keyColumns, rootKeyOf(t))
+    }
+    val rootElem = registry.attributes(registry.name)
+
+    // per-table merges run CONCURRENTLY (independent lake tables, like
+    // the reference's per-table DDL fan-out, sqlDDL.ts:453-480) — Spark
+    // schedules the jobs from separate threads and fills idle cores;
+    // exactly-once holds per table via the shared commit tag
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the applied-delete count comes from the ROOT table's merge lineage
+    // (its Observation already counted tombstones) — not a count() job
+    var nDel = 0L
+    val parallelMerge = sys.env.getOrElse("GRAFT_PAR_MERGE", "1") != "0"
+    def mergeOne(t: TableSpec): Unit = {
+      // within-doc duplicate keys need a dedup window ONLY for ID-keyed
+      // tables under an array (two elements may share an id —
+      // reference's serial MERGE makes the last win, sqlDML.ts:519-545);
+      // root rows are unique per batch dedup and AI keys are positions
+      val needsKeyDedup = !t.isRoot && t.tablePk == "ID" &&
+        t.path.exists(_.isArray)
+      val raw = Flattener.tableFrame(parsed, rootElem, tables, t,
+        col("_gdoc"), extraCols = Seq("_seq"), withOrd = needsKeyDedup)
+      val frame =
+        if (!needsKeyDedup) raw
+        else raw
+          .withColumn("_krn", row_number().over(Window
+            .partitionBy(t.keyColumns.map(col): _*)
+            .orderBy(col("_seq").desc, col("_gord").desc)))
+          .filter(col("_krn") === 1)
+          .drop("_krn", "_gord")
+      val snap = table(t).merge(frame, t.keyColumns, rootKeyOf(t),
+        commitTag, deleteRootKeys = allDeletes,
+        rowSeqCol = if (monotoneSeq) Some("_seq") else None)
+      if (t.isRoot)
+        nDel = snap.lineage.lastOption.filter(_.tag == commitTag)
+          .map(_.deleted).getOrElse(0L)
+      ()
+    }
+    if (parallelMerge)
+      Await.result(Future.sequence(tables.map(t => Future(mergeOne(t)))),
+        Duration.Inf)
+    else tables.foreach(mergeOne)
+    (tables.size, nDel)
   }
 
   /** incr (index.ts:43-72): like load, but unchanged (ID, REV) docs are
@@ -410,19 +423,197 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     * the subsequent CDC tail (whose lsns are larger) wins every conflict.
     * This is the bootstrap-then-tail pattern: `bootstrap(...)` once, then
     * `stream(...)`/`applyEvents(...)` from the WAL position the snapshot
-    * was taken at. */
+    * was taken at.
+    *
+    * FLAT-ATOMIC snapshots (the north rule's case) take a STRUCT-NATIVE
+    * fast path: schema inference is one declarative aggregation (regex
+    * classification replicating the JSON value rules) and the `_gdoc`
+    * struct is built directly from the typed columns — no
+    * `to_json`/`json_tuple`/`from_json` round-trip, which at a 100-TB
+    * bootstrap would serialize and re-parse the whole corpus three times
+    * (measured 2.0× apply throughput at 10^6 rows —
+    * `graft.tools.BootstrapProbe`, BENCH.md). Nested or binary snapshots
+    * fall back to the JSON path (same semantics, the general analyzer
+    * handles containers).
+    *
+    * Source columns named `id`/`rev` would collide with the composite
+    * key fields (duplicate JSON keys made `_docid` the SOURCE value via
+    * last-occurrence-wins — ADVICE r2); they surface as `ID_SRC` /
+    * `REV_SRC` instead. */
   def bootstrap(entity: String, table: DataFrame, keyCols: Seq[String],
       commitTag: String, bootstrapLsn: Long = 0L): ApplyStats = {
     require(keyCols.nonEmpty, "bootstrap needs at least one key column")
+    val src = Seq("id", "rev").foldLeft(table) { (d, n) =>
+      if (d.columns.contains(n)) d.withColumnRenamed(n, s"${n}_src") else d
+    }
+    val keyColsR = keyCols.map(k =>
+      if ((k == "id" || k == "rev") && table.columns.contains(k)) s"${k}_src"
+      else k)
+    keyColsR.foreach(k => require(src.columns.contains(k),
+      s"bootstrap key column $k is not a column of the snapshot"))
+    if (src.schema.fields.forall(f => structBootstrapType(f.dataType)))
+      bootstrapStruct(entity, src, keyColsR, commitTag, bootstrapLsn)
+    else {
+      val idExpr = concat_ws("|", keyColsR.map(col): _*)
+      val docs = src
+        .withColumn("_bid", idExpr)
+        .withColumn("doc", to_json(struct(
+          col("_bid").as("id") +: lit(bootstrapLsn.toString).as("rev") +:
+            src.columns.toSeq.map(col): _*)))
+        .withColumn("lsn", lit(bootstrapLsn))
+        .select("doc", "lsn")
+      load(entity, docs, "doc", commitTag, seqCol = Some("lsn"))
+    }
+  }
+
+  /** Types the struct-native bootstrap handles (everything the one-pass
+    * relational inference can classify). Anything else → JSON path. */
+  private def structBootstrapType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | BooleanType | TimestampType | DateType => true
+      case _: NumericType                                      => true
+      case _                                                   => false
+    }
+  }
+
+  /** One-pass declarative schema inference over a FLAT ATOMIC relation:
+    * replicates the JSON value rules (JS-numeric / strict-ISO string
+    * classification with scalar-conflict widening to string; native
+    * numerics → number, booleans → boolean, timestamps → date; maxLength
+    * from string lengths) as a single aggregation — no JSON ever built or
+    * parsed, no driver-side row loop. Returns (tree, rowCount). */
+  private def inferFlatRelation(entity: String, df: DataFrame,
+      idExpr: Column, revStr: String): (Attr, Long) = {
+    import org.apache.spark.sql.types._
+    import graft.schema.DType
+    val entries: Seq[(String, Column, DataType)] =
+      ("id", idExpr, StringType) +:
+        df.schema.fields.toSeq.map(f => (f.name, col(f.name), f.dataType))
+    val aggs = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)))
+    val slots = scala.collection.mutable.ArrayBuffer[(String, DataType, Int)]()
+    entries.foreach { case (n, c, dt) =>
+      val at = aggs.length
+      dt match {
+        case StringType =>
+          // same branch order as deriveDataType: numeric first (so
+          // "2020" is a number, never a date), then strict ISO
+          val isNum = c.rlike(Infer.jsNumericAnchored)
+          val isDate = !isNum && c.rlike(Infer.isoPattern)
+          aggs += count(c)
+          aggs += count(when(isNum, c))
+          aggs += count(when(isDate, c))
+          aggs += max(length(c))
+        case TimestampType | DateType =>
+          aggs += count(c)
+          aggs += max(length(c.cast(StringType)))
+        case _ => // numeric / boolean
+          aggs += count(c)
+      }
+      slots += ((n, dt, at))
+    }
+    val row = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
+    val total = row.getLong(0)
+
+    val root = new Attr(entity, DType.Arr)
+    root.maxLength = total // analyzeDocuments: root maxLength = doc count
+    val elem = root.child(entity)
+    if (total == 0) return (root, 0L)
+    elem.dataType = DType.Obj
+    def classify(dt: DataType, at: Int): (DType, Long) = dt match {
+      case StringType =>
+        val nn = row.getLong(at)
+        val nnum = row.getLong(at + 1); val ndate = row.getLong(at + 2)
+        val maxLen =
+          if (row.isNullAt(at + 3)) 0L else row.getInt(at + 3).toLong
+        val classes = Seq(DType.Num -> nnum, DType.Date -> ndate,
+          DType.Str -> (nn - nnum - ndate)).filter(_._2 > 0)
+        val t =
+          if (nn == 0) DType.Unknown
+          else if (classes.length == 1) classes.head._1
+          else DType.Str // scalar conflict widens (docMetadata.ts:79-83)
+        (t, maxLen)
+      case TimestampType | DateType =>
+        val t = if (row.getLong(at) > 0) DType.Date else DType.Unknown
+        (t, if (row.isNullAt(at + 1)) 0L else row.getInt(at + 1).toLong)
+      case BooleanType =>
+        (if (row.getLong(at) > 0) DType.Bool else DType.Unknown, 0L)
+      case _ =>
+        (if (row.getLong(at) > 0) DType.Num else DType.Unknown, 0L)
+    }
+    // child order mirrors the JSON path's key order: id, rev, then the
+    // source columns (insertion order drives catalog column order)
+    val (idT, idLen) = classify(StringType, slots.head._3)
+    val idAttr = elem.child("id")
+    idAttr.dataType = idT; idAttr.maxLength = idLen
+    val revAttr = elem.child("rev")
+    revAttr.dataType =
+      if (Infer.jsNumeric(revStr)) DType.Num
+      else if (Infer.isIso8601(revStr)) DType.Date else DType.Str
+    revAttr.maxLength = revStr.length
+    slots.tail.foreach { case (n, dt, at) =>
+      val (t, len) = classify(dt, at)
+      if (t != DType.Unknown) { // all-null column: no attr, no SQL column
+        val a = elem.child(n)
+        a.dataType = t; a.maxLength = len
+      }
+    }
+    (root, total)
+  }
+
+  /** The struct-native bootstrap: infer via one aggregation, widen the
+    * registry, then build `_gdoc` directly from the typed columns and run
+    * the shared DDL/flatten/merge tail. Row-count stats assume the
+    * snapshot is key-unique (the max_by dedup still guards violations;
+    * an arbitrary equal-lsn winner would apply). */
+  private def bootstrapStruct(entity: String, src: DataFrame,
+      keyCols: Seq[String], commitTag: String, lsn: Long): ApplyStats = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val idExpr = concat_ws("|", keyCols.map(col): _*)
-    val docs = table
-      .withColumn("_bid", idExpr)
-      .withColumn("doc", to_json(struct(
-        col("_bid").as("id") +: lit(bootstrapLsn.toString).as("rev") +:
-          table.columns.toSeq.map(col): _*)))
-      .withColumn("lsn", lit(bootstrapLsn))
-      .select("doc", "lsn")
-    load(entity, docs, "doc", commitTag, seqCol = Some("lsn"))
+    val revStr = lsn.toString
+    val (batchTree, total) = inferFlatRelation(entity, src, idExpr, revStr)
+    if (total == 0) return ApplyStats(0, 0, 0, 0, 0)
+    val prior = loadRegistry(entity)
+    val registry = prior match {
+      case Some(t) => Infer.mergeInto(t, batchTree)
+      case None    => batchTree
+    }
+    saveRegistry(entity, registry)
+
+    val schema = Flattener.readSchema(registry.attributes(registry.name))
+    val srcCols = src.columns.toSet
+    val gdoc = struct(schema.fields.toSeq.map { f =>
+      val atomicTarget = f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _                                         => true
+      }
+      (f.name match {
+        case "id"  => col("_docid")
+        case "rev" => lit(revStr)
+        // a prior-registry container field shadowed by an atomic source
+        // column reads null — the same thing from_json yields when the
+        // text doesn't match the container schema (lenient parse)
+        case n if srcCols.contains(n) && atomicTarget => col(n)
+        case _ => lit(null)
+      }).cast(f.dataType).as(f.name)
+    }: _*)
+
+    val keyed = src
+      .withColumn("_docid", idExpr)
+      .withColumn("_seq", lit(lsn))
+    val latest = keyed
+      .filter(col("_docid").isNotNull)
+      .groupBy(col("_docid"))
+      .agg(max_by(struct(keyed.columns.map(col): _*), col("_seq")).as("_w"))
+      .select(col("_w.*"))
+    val parsed = latest
+      .select(col("_docid"), col("_seq"), gdoc.as("_gdoc")).persist()
+    try {
+      val (nTables, _) =
+        mergeParsed(registry, parsed, commitTag, None, monotoneSeq = true)
+      ApplyStats(total, total, 0, 0, nTables)
+    } finally parsed.unpersist()
   }
 
   /** Register every table of an entity as a session temp view (MoR-

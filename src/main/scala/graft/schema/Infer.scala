@@ -107,9 +107,22 @@ object Infer {
     else t.matches("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?")
   }
 
-  private val isoRegex =
-    ("^\\d{4}-\\d{2}(-\\d{2}([T ]\\d{2}(:\\d{2}(:\\d{2}([.,]\\d{1,9})?)?)?" +
-      "(Z|[+-]\\d{2}(:?\\d{2})?)?)?)?$").r
+  /** Anchored Java-regex form of strict-ISO detection — public so the
+    * relational fast path can replicate [[isIso8601]] with SQL `rlike`
+    * (same Java regex engine on both paths). */
+  val isoPattern: String =
+    "^\\d{4}-\\d{2}(-\\d{2}([T ]\\d{2}(:\\d{2}(:\\d{2}([.,]\\d{1,9})?)?)?" +
+      "(Z|[+-]\\d{2}(:?\\d{2})?)?)?)?$"
+
+  private val isoRegex = isoPattern.r
+
+  /** Anchored Java-regex equivalent of [[jsNumeric]] for SQL `rlike`:
+    * the optional group makes empty / whitespace-only match (JS
+    * `Number("") == 0`); `\s*` approximates `String.trim` (exact for
+    * every printable input). */
+  val jsNumericAnchored: String =
+    "^\\s*([+-]?Infinity|0[xX][0-9a-fA-F]+|0[oO][0-7]+|0[bB][01]+|" +
+      "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?)?\\s*$"
 
   /** Strict ISO-8601 detection (moment(value, ISO_8601, true).isValid(),
     * docMetadata.ts:152-153). Purely-numeric strings never reach this

@@ -228,6 +228,81 @@ class EngineSpec extends AnyFunSuite {
       "repo-a|src/f2.scala|c1" -> "v0 content a2"))
   }
 
+  test("struct-native bootstrap ≡ JSON-path bootstrap: same catalog, same rows") {
+    import java.sql.Timestamp
+    // mixed-type snapshot exercising every classification branch:
+    // numeric string → number, ISO string → date, conflict → string,
+    // native long/double → number, boolean, timestamp, all-null column
+    val snapshot = Seq(
+      ("r1", "a/b.scala", "c1", "scala", "content one", 42L, 3.5, true,
+        Timestamp.valueOf("2024-05-01 12:00:00"), "123", "2024-01-02",
+        null.asInstanceOf[String]),
+      ("r2", "a/c.py", "c2", "py", "content two", 7L, 0.25, false,
+        Timestamp.valueOf("2024-06-01 08:30:00"), "456", "plain text",
+        null.asInstanceOf[String]),
+    ).toDF("repo", "path", "commit", "lang", "content", "size", "score",
+      "flag", "mtime", "numstr", "mixedcol", "allnull")
+
+    // struct-native path (all-atomic schema)
+    val (e1, _) = newEngine()
+    val s1 = e1.bootstrap("repos", snapshot, Seq("repo", "path", "commit"),
+      "b:1", bootstrapLsn = 5L)
+    assert(s1.dedupedDocs == 2 && s1.tables == 1)
+
+    // reference behavior: the JSON round-trip path (same docs, via load)
+    val (e2, _) = newEngine()
+    val docs = snapshot
+      .withColumn("doc", to_json(struct(
+        concat_ws("|", col("repo"), col("path"), col("commit")).as("id") +:
+          lit("5").as("rev") +: snapshot.columns.toSeq.map(col): _*)))
+      .withColumn("lsn", lit(5L)).select("doc", "lsn")
+    e2.load("repos", docs, "doc", "b:1", seqCol = Some("lsn"))
+
+    // identical catalog: table names, column names + SQL types, keys
+    def catOf(e: Engine) = tablesOf(e, "repos").map(t =>
+      (t.fullName, t.tablePk, t.keyColumns,
+        t.columns.map(c => c.sqlName -> c.sqlType)))
+    assert(catOf(e1) == catOf(e2))
+    // identical rows (timestamps compare as instants under UTC session)
+    val cols = tablesOf(e1, "repos").head.columns.map(_.sqlName)
+    def rowsOf(e: Engine) = readTable(e, "repos", "repos")
+      .select(cols.map(c => col(c).cast("string")): _*)
+      .orderBy("ID").collect().map(_.toString).toSeq
+    assert(rowsOf(e1) == rowsOf(e2) && rowsOf(e1).size == 2)
+    // all-null column produced no SQL column on either path
+    assert(!cols.contains("ALLNULL"))
+    // classification spot-checks
+    val spec = tablesOf(e1, "repos").head
+    def ty(n: String) = spec.columns.find(_.sqlName == n).get.sqlType
+    assert(ty("NUMSTR") == "VARCHAR(38)")      // numeric strings → number
+    assert(ty("MIXEDCOL").startsWith("VARCHAR")) // date ⊔ string → string
+    assert(ty("MTIME") == "DATETIMEOFFSET")
+    assert(ty("FLAG") == "INT")
+    assert(ty("SIZE") == "VARCHAR(38)")
+  }
+
+  test("bootstrap renames colliding id/rev source columns instead of corrupting the key") {
+    // a source `id` column used to become a duplicate JSON key — and
+    // json_tuple's last-occurrence-wins made _docid the SOURCE value,
+    // silently breaking the bootstrap-then-tail keying (ADVICE r2)
+    val (e, _) = newEngine()
+    val snap = Seq(
+      ("own-id-1", "r1", "f1", "x"),
+      ("own-id-2", "r2", "f2", "y"),
+    ).toDF("id", "repo", "path", "content")
+    e.bootstrap("repos", snap, Seq("repo", "path"), "b:1")
+    val rows = readTable(e, "repos", "repos").orderBy("ID").collect()
+    // composite key wins; the source id survives as ID_SRC
+    assert(rows.map(_.getAs[String]("ID")).toSeq == Seq("r1|f1", "r2|f2"))
+    assert(rows.map(_.getAs[String]("ID_SRC")).toSeq ==
+      Seq("own-id-1", "own-id-2"))
+    // keying on the COLLIDING column name also works (renamed transparently)
+    val (e2, _) = newEngine()
+    e2.bootstrap("repos", snap, Seq("id"), "b:1")
+    assert(readTable(e2, "repos", "repos").orderBy("ID").collect()
+      .map(_.getAs[String]("ID")).toSeq == Seq("own-id-1", "own-id-2"))
+  }
+
   test("keyless / malformed events are dropped, not silently merged into a null key") {
     val (e, _) = newEngine()
     val events = Seq(
