@@ -618,7 +618,13 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
 
   /** Register every table of an entity as a session temp view (MoR-
     * resolved reads) so plain `spark.sql` queries the current state —
-    * what a reference user pointing BI/SQL at the output tables gets. */
+    * what a reference user pointing BI/SQL at the output tables gets.
+    *
+    * Visibility note: per-table commits are independent (the reference
+    * has the same non-transactionality — per-row MERGEs across tables),
+    * so DURING an apply a reader can see the root table at batch N while
+    * a child is still at N-1. Use [[registerConsistentViews]] for a
+    * batch-consistent cut. */
   def registerViews(entity: String, prefix: String = ""): Seq[String] =
     loadRegistry(entity).toSeq.flatMap { tree =>
       Catalog.fromTree(tree).flatMap { t =>
@@ -628,6 +634,46 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
           val name = s"$prefix${t.fullName}"
           lake.read().createOrReplaceTempView(name)
           Some(name)
+        }
+      }
+    }
+
+  /** Register views over a CONSISTENT CROSS-TABLE CUT: every table is
+    * resolved to the snapshot right after the newest commit tag applied
+    * to ALL of the entity's tables — batch-granular snapshot isolation
+    * over independently-committing tables. An apply in flight (root at
+    * batch N, a child still at N-1) is invisible: the cut is batch N-1
+    * everywhere. Maintenance commits (per-table tags) never join the cut.
+    *
+    * Best-effort time travel: the cut snapshot must still be retained
+    * (vacuum keeps `keepSnapshots`, 10 by default — far more than the one
+    * in-flight batch the cut ever needs to step back over); a pruned cut
+    * falls back to the oldest retained snapshot containing the tag. */
+  def registerConsistentViews(entity: String,
+      prefix: String = ""): Seq[String] =
+    loadRegistry(entity).toSeq.flatMap { tree =>
+      val live = Catalog.fromTree(tree)
+        .map(t => (t, table(t))).filter(_._2.exists())
+      if (live.isEmpty) Nil
+      else {
+        val snaps = live.map { case (t, l) => (t, l, l.snapshot()) }
+        val common = snaps.map(_._3.commits.toSet).reduce(_ intersect _)
+        // newest common tag, in the root table's commit order
+        val order = snaps.find(_._1.isRoot).map(_._3)
+          .getOrElse(snaps.head._3).commits
+        val cut = order.reverse.find(common.contains)
+        snaps.map { case (t, l, cur) =>
+          val snap = cut match {
+            case None => cur // no common batch yet: current state
+            case Some(tag) =>
+              // oldest retained snapshot that has the cut tag = the state
+              // right after that batch committed on this table
+              l.snapshotVersions().iterator.map(l.snapshotAt)
+                .find(_.hasCommit(tag)).getOrElse(cur)
+          }
+          val name = s"$prefix${t.fullName}"
+          l.readAt(snap).createOrReplaceTempView(name)
+          name
         }
       }
     }

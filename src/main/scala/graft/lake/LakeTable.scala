@@ -128,6 +128,16 @@ final class LakeTable(val spark: SparkSession, val root: String,
   def snapshotOpt(): Option[Snapshot] =
     if (exists()) Some(snapshot()) else None
 
+  /** All retained snapshot versions, oldest first (vacuum keeps the
+    * newest `keepSnapshots`). */
+  def snapshotVersions(): Seq[Int] =
+    if (!Files.isDirectory(snapDir)) Nil
+    else listDir(snapDir).map(versionOf).filter(_ > 0).sorted
+
+  /** Time-travel: the snapshot at `version` (must still be retained). */
+  def snapshotAt(version: Int): Snapshot =
+    readSnapshot(snapDir.resolve(f"v$version%05d.json"), version)
+
   private def readSnapshot(p: Path, v: Int): Snapshot = {
     val o = Json.parse(Files.readString(p)).asInstanceOf[JObj]
     def arr(k: String) = o.get(k).collect { case JArr(x) => x }.getOrElse(Vector.empty)
@@ -231,6 +241,11 @@ final class LakeTable(val spark: SparkSession, val root: String,
   /** Read the current snapshot, merge-on-read resolved: newest row per key
     * across base + delta segments, aligned to the current schema. */
   def read(): DataFrame = resolve(snapshot(), _ => true)
+
+  /** Read a specific (possibly historical) snapshot — time travel within
+    * the vacuum retention window (a vacuumed snapshot's superseded
+    * segment dirs may be gone; read promptly after choosing a cut). */
+  def readAt(s: Snapshot): DataFrame = resolve(s, _ => true)
 
   /** Read only the given buckets (partition pruning for key-local scans). */
   def readBuckets(buckets: Set[Int]): DataFrame =

@@ -321,6 +321,50 @@ class EngineSpec extends AnyFunSuite {
     assert(stats.dedupedDocs <= 3)
   }
 
+  test("consistent views: a mid-commit batch is invisible until every table has it") {
+    val (e, _) = newEngine()
+    def doc(id: String, rev: String, v: String) =
+      s"""{"id":"$id","rev":"$rev","v":"$v","items":[{"id":"i-$id","w":"$v"}]}"""
+    e.applyEvents("q", Seq(
+      (1L, "insert", doc("d1", "1", "a")),
+      (2L, "insert", doc("d2", "1", "b"))).toDF("lsn", "op", "doc"), "cv:0")
+    e.applyEvents("q", Seq(
+      (3L, "update", doc("d1", "2", "c"))).toDF("lsn", "op", "doc"), "cv:1")
+
+    // simulate an apply caught mid-commit: batch cv:2 lands on the ROOT
+    // table but not (yet) on the items table
+    val specs = tablesOf(e, "q")
+    val rootSpec = specs.find(_.isRoot).get
+    val rootLake = e.table(rootSpec)
+    val partial = rootLake.read().filter(col("ID") === "d2")
+      .withColumn("V", lit("PARTIAL")).withColumn("_seq", lit(10L))
+    rootLake.merge(partial, rootSpec.keyColumns, "ID", "cv:2",
+      rowSeqCol = Some("_seq"))
+
+    // raw views see the torn state …
+    e.registerViews("q", prefix = "RAW_")
+    assert(spark.sql("SELECT V FROM RAW_Q WHERE ID='d2'")
+      .head().getString(0) == "PARTIAL")
+    // … the consistent cut does not: newest tag on ALL tables is cv:1
+    e.registerConsistentViews("q", prefix = "C_")
+    assert(spark.sql("SELECT V FROM C_Q WHERE ID='d2'")
+      .head().getString(0) == "b")
+    assert(spark.sql("SELECT V FROM C_Q WHERE ID='d1'")
+      .head().getString(0) == "c") // cv:1 IS in the cut
+    assert(spark.sql("SELECT count(*) FROM C_Q_ITEMS").head().getLong(0) == 2)
+
+    // the lagging table finishes cv:2 → the cut advances
+    val itemSpec = specs.find(_.attrName == "items").get
+    val itemLake = e.table(itemSpec)
+    itemLake.merge(
+      itemLake.read().limit(0).withColumn("_seq", lit(10L)),
+      itemSpec.keyColumns, itemSpec.fkColumns.last.sqlName, "cv:2",
+      rowSeqCol = Some("_seq"))
+    e.registerConsistentViews("q", prefix = "C2_")
+    assert(spark.sql("SELECT V FROM C2_Q WHERE ID='d2'")
+      .head().getString(0) == "PARTIAL")
+  }
+
   test("maintain: compacts every table, expires old tombstones, vacuums orphans") {
     val (e, root) = newEngine()
     val p = EventGen.Params(nEvents = 400, nRepos = 6, pathsPerRepo = 4,

@@ -133,6 +133,36 @@ class LakeSpec extends AnyFunSuite {
     assert(t.read().collect().map(r => r.getString(1)).toSeq == Seq("7"))
   }
 
+  test("vacuum grace period protects an in-flight writer's commit dir") {
+    // a concurrent merge writes its commit dir BEFORE publishing the
+    // snapshot — during that window the dir is unreferenced with a fresh
+    // mtime. Default-grace vacuum must leave it alone (deleting it would
+    // corrupt the in-flight commit); only a STALE unreferenced dir (a
+    // crashed write) is garbage.
+    val t = newTable()
+    t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
+    val dataDir = java.nio.file.Paths.get(t.root, t.name, "data")
+    val inflight = dataDir.resolve("c99999d")
+    java.nio.file.Files.createDirectories(inflight)
+    java.nio.file.Files.writeString(inflight.resolve("part-0.parquet"), "x")
+    // fresh mtime → survives a graced vacuum
+    t.vacuum(graceMs = 600000L)
+    assert(java.nio.file.Files.isDirectory(inflight),
+      "vacuum deleted an in-flight commit dir inside the grace window")
+    // the snapshot publish then completes — simulate by merging more and
+    // confirming the table still works with the foreign dir present
+    t.merge(df("b" -> "2"), Seq("ID"), "ID", "c2")
+    assert(t.read().count() == 2)
+    // aged out (mtime older than grace) and still unreferenced → removed
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600000L)
+    java.nio.file.Files.setLastModifiedTime(inflight, old)
+    java.nio.file.Files.setLastModifiedTime(inflight.resolve("part-0.parquet"), old)
+    t.vacuum(graceMs = 600000L)
+    assert(!java.nio.file.Files.exists(inflight))
+    assert(t.read().count() == 2) // live data untouched
+  }
+
   test("compactAll: collapses every delta bucket to base, state preserved") {
     val t = newTable(maxDeltas = 100) // never auto-compacts
     (1 to 5).foreach(i => t.merge(df("k" -> i.toString, s"y$i" -> "v"),
