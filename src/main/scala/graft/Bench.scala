@@ -51,12 +51,21 @@ object Bench {
     s
   }
 
+  /** lsn-range slices the event cache is partitioned by: a micro-batch
+    * reads ONLY its own slices' files (PartitionFilters), the way a real
+    * tail reads only its new WAL segment — without this, every batch
+    * re-scans the whole cached tail and multi-batch replay measures
+    * read amplification the production shape doesn't have (measured:
+    * 0.745 "efficiency" at 4 batches, an artifact). */
+  private val EventSlices = 32
+
   /** One-time event materialization: the change-event tail as parquet (the
     * realistic WAL-read shape; generation excluded from all timed runs).
     * RAM-backed so both parallelism levels read at memory speed — the
     * shared single disk is a sandbox artifact, not an engine property. */
   private def eventsDir(spark: SparkSession, n: Long): String = {
-    val dir = s"/dev/shm/graft-bench/events-$n"
+    import org.apache.spark.sql.functions._
+    val dir = s"/dev/shm/graft-bench/events-$n-s$EventSlices"
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))) {
       // wide key space: a 10^10-event feed spans millions of files, so a
       // micro-batch is mostly distinct keys (dup factor ~2) — post-dedup
@@ -68,27 +77,37 @@ object Bench {
       // 4N level's scaling (this, not the engine, was round 1's recorded
       // 0.546 efficiency)
       val p = EventGen.Params(nEvents = n, nRepos = 2000, pathsPerRepo = 500)
-      EventGen.events(spark, p, partitions = 32)
-        .toDF().write.mode("overwrite").parquet(dir)
+      val per = math.max(1L, n / EventSlices)
+      EventGen.events(spark, p, partitions = 32).toDF()
+        .withColumn("slice",
+          least(lit(EventSlices - 1), (col("lsn") / per).cast("int")))
+        .write.partitionBy("slice").mode("overwrite").parquet(dir)
     }
     dir
   }
 
   /** Replay `n` events through the engine in `batches` micro-batches into
-    * a fresh lake; returns wall seconds (read + apply, generation excluded). */
+    * a fresh lake; returns wall seconds (read + apply, generation excluded).
+    * Each batch's scan prunes to its own lsn slices (see [[EventSlices]]). */
   private def replay(spark: SparkSession, n: Long, batches: Int,
       buckets: Int): Double = {
     import org.apache.spark.sql.functions.col
+    require(EventSlices % batches == 0,
+      s"batches must divide $EventSlices event slices")
     val lake = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm/graft-bench"), "lake-").toString
     val engine = new Engine(spark, lake, numBuckets = buckets)
     val all = spark.read.parquet(eventsDir(spark, n))
     val per = n / batches
+    val slicesPer = EventSlices / batches
     val t0 = System.nanoTime()
     (0 until batches).foreach { b =>
       val hi = if (b == batches - 1) n else (b + 1) * per
       engine.applyEvents("repos",
-        all.filter(col("lsn") >= b * per && col("lsn") < hi), s"bench:$b")
+        all.filter(col("slice") >= b * slicesPer &&
+          col("slice") < (b + 1) * slicesPer &&
+          col("lsn") >= b * per && col("lsn") < hi).drop("slice"),
+        s"bench:$b")
     }
     val secs = (System.nanoTime() - t0) / 1e9
     // sanity: root table exists and is non-trivial
@@ -115,10 +134,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // batch size matters: a 1000-executor cluster feeds millions of events
     // per micro-batch, so per-batch compute must dominate the fixed
-    // per-batch cost (driver planning + job scheduling) for the scaling
-    // measurement to be meaningful
-    val nEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "2000000").toLong
-    val batches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "1").toInt
+    // per-batch cost (driver planning + job scheduling + listener-bus
+    // latency for the 7 concurrent merge Observations ≈ 1.5 s/batch,
+    // measured) for the scaling measurement to be meaningful. The
+    // RECORDED shape is therefore 4 batches × 1M events — a real tail's
+    // cadence including per-batch commit overheads — plus a single-batch
+    // reference sample for cross-round comparability. 500k-event batches
+    // under-size the work per commit and measure scheduling, not the
+    // engine (0.74 "efficiency" — an artifact, see BENCH.md).
+    val nEvents = sys.env.getOrElse("GRAFT_BENCH_EVENTS", "4000000").toLong
+    val batches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "4").toInt
+    val nEvents1 = math.min(nEvents, 2000000L) // single-batch reference
 
     // --- CDC replay at N vs 4N EXECUTORS (scaling evidence) ---
     // Runs FIRST, on a clean driver JVM: the 29-query harness phase
@@ -174,19 +200,22 @@ object Bench {
     // wins; a time budget skips remaining samples rather than risking the
     // harness timeout.
     val benchT0 = System.nanoTime()
-    val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "420").toInt
-    // 2 rounds × 2 back-to-back samples: within one session samples are
-    // FLAT (warm executors) — measured: lows 43.2/39.6/42.1, highs
-    // 13.7/12.5/12.7 — while cross-session windows pay a fresh-JVM tax
-    // even after a warm-up replay. Two windows per level still
-    // decorrelate multi-minute steal bursts; the budget guard sheds
-    // samples when the box is slow
+    val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "540").toInt
+    // 2 rounds × 1 multi-batch sample (≈108 s low / 31 s high each):
+    // within one session samples are FLAT (warm executors) while
+    // cross-session windows pay a fresh-JVM tax even after a warm-up
+    // replay; two windows per level decorrelate multi-minute host-steal
+    // bursts, and the budget guard sheds samples when the box is slow.
+    // Round 0 additionally takes ONE single-batch reference sample per
+    // level (comparability with r1/r2 and the per-batch-overhead story).
     val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
-    val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "2").toInt
+    val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "1").toInt
     def withinBudget: Boolean =
       (System.nanoTime() - benchT0) / 1e9 < budgetSecs
     val lows = scala.collection.mutable.ArrayBuffer.empty[Double]
     val highs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val lows1 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val highs1 = scala.collection.mutable.ArrayBuffer.empty[Double]
     var warm = 0.0
     var spark: SparkSession = null
     // EVERY session gets a warm-up replay: executor JVMs are fresh per
@@ -195,22 +224,30 @@ object Bench {
     // 13.7 → 21 s purely from cold executors, not host steal)
     def warmUp(s: SparkSession): Double =
       replay(s, math.min(nEvents / 20, 100000), 1, 32)
+    // Budget gates ROUND ENTRY only: an entered round always records one
+    // low AND one high sample — a mid-round budget trip that recorded a
+    // low-only window would bias the min-based efficiency estimator
+    // (extra draws shrink whichever level's min gets them).
     (0 until rounds).foreach { round =>
       if (round == 0 || withinBudget) {
         spark = clusterSession(1)
         val w = warmUp(spark)
         if (round == 0) warm = w
         (0 until samples).foreach { i =>
-          if ((round == 0 && i == 0) || withinBudget)
+          if (i == 0 || withinBudget)
             lows += replay(spark, nEvents, batches, 32)
         }
+        if (round == 0 && batches > 1)
+          lows1 += replay(spark, nEvents1, 1, 32)
         spark.stop()
         spark = clusterSession(4)
         warmUp(spark)
         (0 until samples).foreach { i =>
-          if ((round == 0 && i == 0) || withinBudget)
+          if (i == 0 || (withinBudget && highs.size < lows.size))
             highs += replay(spark, nEvents, batches, 32)
         }
+        if (round == 0 && batches > 1)
+          highs1 += replay(spark, nEvents1, 1, 32)
         spark.stop()
       }
     }
@@ -219,6 +256,16 @@ object Bench {
     val epsLow = nEvents / tLow
     val epsHigh = nEvents / tHigh
     val efficiency = epsHigh / (4.0 * epsLow)
+    val single =
+      if (lows1.isEmpty || highs1.isEmpty) ""
+      else {
+        val l1 = lows1.min; val h1 = highs1.min
+        val e1 = (nEvents1 / h1) / (4.0 * (nEvents1 / l1))
+        s""""single_batch":{"events":$nEvents1,""" +
+          s""""secs_low":${f"$l1%.2f"},"secs_high":${f"$h1%.2f"},""" +
+          s""""eps_high":${f"${nEvents1 / h1}%.1f"},""" +
+          s""""scaling_efficiency":${f"$e1%.3f"}},"""
+      }
 
     // --- per-query harness timings at full parallelism (after the
     // scaling measurement — see ordering note above) ---
@@ -248,7 +295,7 @@ object Bench {
     val json =
       s"""{"metric":"cdc_events_per_sec","value":${f"$epsHigh%.1f"},""" +
       s""""unit":"events/sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""cdc":{"events":$nEvents,"batches":$batches,""" +
+      s""""cdc":{"events":$nEvents,"batches":$batches,$single""" +
       s""""executors_low":1,"executors_high":4,"cores_per_executor":$execCores,""" +
       s""""secs_low":${f"$tLow%.2f"},"secs_high":${f"$tHigh%.2f"},""" +
       s""""samples_low":${lows.map(x => f"$x%.2f").mkString("[", ",", "]")},""" +
