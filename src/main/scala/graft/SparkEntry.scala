@@ -290,6 +290,24 @@ object SparkEntry {
         .select(lit(20L).as("k"), col("hits"),
           round(col("hits") / 20.0, 4).as("recall"))
     }),
+    "ann_ivf" -> ((s, dir) => {
+      // the DATA-ADAPTIVE pruned path: spherical-k-means inverted lists
+      // ([[Similarity.ivfIndexVectors]], one-time content-keyed build),
+      // probe = nprobe nearest cells (driver-side k×dim scoring), exact
+      // rerank inside the probed partitions only
+      val q = queryVector(s, dir)
+      Similarity.topKIvf(s, ensureIvfIndex(s, dir), q, k = 20,
+        nprobe = IvfNprobe)
+    }),
+    "ann_ivf_recall" -> ((s, dir) => {
+      // same containment pattern as ann_recall, for the IVF path
+      val bf = queries("ann_bruteforce")(s, dir).select(col("id"))
+      val ivf = queries("ann_ivf")(s, dir).select(col("id"))
+      bf.join(ivf, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(20L).as("k"), col("hits"),
+          round(col("hits") / 20.0, 4).as("recall"))
+    }),
     "emb_norms" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -337,6 +355,15 @@ object SparkEntry {
         .select(col("window.start").as("window_start"), col("repo"),
           col("n_events"), col("n_deletes"))
     }),
+    "stream_dedup_keys" -> ((s, dir) => {
+      // streaming exact dedup (native dropDuplicatesWithinWatermark;
+      // batch side here). The kept ROW per hash is tie-arbitrary, so the
+      // driver-verified surface is the deterministic distinct-hash SET —
+      // the oracle recomputes it over the dumped tail
+      val events = EventGen.events(s, entryParams, 8).toDF()
+      graft.streaming.StreamOps.dedupeStream(events, "doc")
+        .select(col("_chash").as("content_sha"))
+    }),
 
     // ---- the engine itself ----
     "engine_replay" -> ((s, dir) => entry(s)),
@@ -351,11 +378,16 @@ object SparkEntry {
     * pruning (9 probe cells) without a 1024-dir small-file write. */
   val AnnBits = 8
 
+  /** 16 k-means cells, 4 probed: 4× IO pruning with data-adaptive cells
+    * (vs LSH's data-oblivious hyperplanes); k grows ~sqrt(n) at scale. */
+  val IvfK = 16
+  val IvfNprobe = 4
+
   /** Content-keyed ANN index path: the fingerprint covers file names,
     * sizes and mtimes of the embeddings table, so regenerated data at the
     * same path gets a NEW index (no stale-index hazard — a dir.hashCode
     * key reused a stale layout silently, ADVICE r2). */
-  private def annIndexDir(dir: String): String = {
+  private def indexDirFor(dir: String, tag: String): String = {
     val src = new java.io.File(dir, "embeddings.parquet")
     val files =
       if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq
@@ -364,22 +396,19 @@ object SparkEntry {
     files.foreach(f =>
       md.update(s"${f.getName}:${f.length}:${f.lastModified};".getBytes("UTF-8")))
     val fp = md.digest().map("%02x".format(_)).mkString.take(16)
-    s"/tmp/graft-ann-idx-$fp-$AnnBits"
+    s"/tmp/graft-$tag-idx-$fp"
   }
 
-  /** Build the write-side ANN layout once; probe queries then read only
-    * probe cells. Crash/race-safe: each builder writes its own tmp dir
-    * and publishes with an atomic rename — a half-written index is never
-    * visible, and the first publisher wins. */
-  def ensureAnnIndex(s: SparkSession, dir: String): String = {
+  /** One-time index build with a crash/race-safe publish: each builder
+    * writes its own tmp dir and publishes with an atomic rename — a
+    * half-written index is never visible, the first publisher wins. */
+  private def ensureIndex(idx: String)(build: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val idx = annIndexDir(dir)
     val p = Paths.get(idx)
     if (!Files.isDirectory(p)) {
       val tmp = Paths.get(idx + ".tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
-      Similarity.indexVectors(t(s, dir, "embeddings"), "vec_id", "embedding",
-        tmp.toString, bits = AnnBits)
+      build(tmp.toString)
       try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileSystemException =>
         // lost the publish race (or cross-device): drop our copy if a
@@ -390,6 +419,21 @@ object SparkEntry {
     }
     idx
   }
+
+  /** Build the write-side hyperplane-LSH layout once; probe queries then
+    * read only probe cells. */
+  def ensureAnnIndex(s: SparkSession, dir: String): String =
+    ensureIndex(indexDirFor(dir, s"ann$AnnBits")) { tmp =>
+      Similarity.indexVectors(t(s, dir, "embeddings"), "vec_id", "embedding",
+        tmp, bits = AnnBits)
+    }
+
+  /** Build the IVF inverted-list layout once (k-means train + assign). */
+  def ensureIvfIndex(s: SparkSession, dir: String): String =
+    ensureIndex(indexDirFor(dir, s"ivf$IvfK")) { tmp =>
+      Similarity.ivfIndexVectors(t(s, dir, "embeddings"), "vec_id",
+        "embedding", tmp, k = IvfK)
+    }
 
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
@@ -403,7 +447,9 @@ object SparkEntry {
   /** One-time preparation (index builds): Bench calls this OUTSIDE the
     * timed region so `ann_lsh` measures the probe, not the build. */
   def prepare(s: SparkSession, dir: String): Unit = {
-    ensureAnnIndex(s, dir); ()
+    ensureAnnIndex(s, dir)
+    ensureIvfIndex(s, dir)
+    ()
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -626,6 +672,20 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1
         |  FROM read_parquet('__OUTDIR__/ann_lsh/*.parquet') l
         |  WHERE l.id = b.id)""".stripMargin,
+    "ann_ivf_recall" ->
+      """SELECT CAST(20 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS hits,
+        |  round(count(*) / 20.0, 4) AS recall
+        |FROM read_parquet('__OUTDIR__/ann_bruteforce/*.parquet') b
+        |WHERE EXISTS (SELECT 1
+        |  FROM read_parquet('__OUTDIR__/ann_ivf/*.parquet') l
+        |  WHERE l.id = b.id)""".stripMargin,
+
+    // streaming dedup: the deterministic surface is the distinct-hash SET
+    // (which row of a duplicate group is kept is tie-arbitrary); the
+    // oracle recomputes the set over the dumped tail
+    "stream_dedup_keys" ->
+      """SELECT DISTINCT sha256(doc) AS content_sha
+        |FROM read_parquet('__OUTDIR__/engine_events/*.parquet')""".stripMargin,
 
     // synthetic frame math: 256-byte body / 32-byte frames = 8, every 2nd
     // sampled → 4 per asset (independent re-derivation of the format spec)

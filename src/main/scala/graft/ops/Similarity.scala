@@ -136,4 +136,109 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
+
+  // ---------- IVF (inverted-file) ANN ----------
+  //
+  // The second scale path beside hyperplane LSH: a spherical k-means
+  // coarse quantizer (the IVF layout of Johnson et al., "Billion-scale
+  // similarity search with GPUs") learns data-adaptive cells — on
+  // clustered corpora the probe list covers the query's true neighbors
+  // with far fewer cells than data-oblivious LSH probes. Every
+  // data-touching step is a declarative Spark plan; only the k×dim
+  // centroid matrix ever reaches the driver.
+
+  /** Per-vector nearest-centroid assignment (cosine argmax) — fully
+    * declarative: broadcast the k centroids, one `max_by` hash-agg with
+    * map-side partial combine (each vector's k scored rows collapse to 1
+    * inside its map task; no shuffle of the k-times-amplified frame).
+    * Ties break on the LOWER cell id (struct ordering), deterministic. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Float]]): DataFrame = {
+    import df.sparkSession.implicits._
+    val cdf = broadcast(cents.zipWithIndex.toSeq.map { case (v, i) => (i, v) }
+      .toDF("_cell", "_cv"))
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(cdf)
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("_cell"), col("v")),
+        struct(cosineCols(col("v"), col("_cv")), -col("_cell"))).as("_w"))
+      .select(col("id"), col("_w.v").as("v"), col("_w._cell").as("cell"))
+  }
+
+  /** Train `k` spherical-k-means centroids with Lloyd's iterations.
+    * Init = the k vectors with the smallest seeded id-hash (a seeded
+    * uniform sample, deterministic given the data); each iteration is one
+    * [[ivfAssign]] plus a dimension-exploded mean aggregation (k×dim tiny
+    * rows to the driver — never the vectors). Centroids are L2-normalized
+    * per update (spherical variant — the mean direction is what cosine
+    * assignment needs); a cell that loses all members keeps its previous
+    * centroid. */
+  def ivfTrain(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 4, seed: Long = 42L): Array[Array[Float]] = {
+    require(k > 0 && iters >= 0, "k > 0, iters >= 0")
+    val vecs = df.select(col(idCol).cast("string").as("id"),
+      col(vecCol).as("v"))
+    var cents: Array[Array[Float]] = vecs
+      .withColumn("_h", xxhash64(concat(col("id"), lit(seed.toString))))
+      .orderBy(col("_h"), col("id")).limit(k)
+      .select("v").collect().map(_.getSeq[Float](0).toArray)
+    require(cents.nonEmpty, "ivfTrain: empty input")
+    (0 until iters).foreach { _ =>
+      val sums = ivfAssign(vecs, "id", "v", cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val dim = rows.length
+        val m = new Array[Float](dim)
+        rows.foreach(r =>
+          m(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+        val norm = math.sqrt(m.map(x => x.toDouble * x).sum)
+        if (norm > 0) next(cell) = m.map(x => (x / norm).toFloat)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  private def centroidsFile(path: String) =
+    java.nio.file.Paths.get(path, "_ivf_centroids.csv")
+
+  /** Write-side IVF layout: assign every vector its centroid cell and
+    * store the table PARTITIONED BY cell (the inverted lists), plus the
+    * centroid matrix beside it (underscore-prefixed — invisible to Spark
+    * readers). Queries then list only the probed cells' directories. */
+  def ivfIndexVectors(df: DataFrame, idCol: String, vecCol: String,
+      path: String, k: Int = 16, iters: Int = 4, seed: Long = 42L): Unit = {
+    val cents = ivfTrain(df, idCol, vecCol, k, iters, seed)
+    ivfAssign(df, idCol, vecCol, cents)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    // after the parquet write: overwrite mode clears the directory first
+    java.nio.file.Files.writeString(centroidsFile(path),
+      cents.map(_.mkString(",")).mkString("\n"))
+  }
+
+  def readIvfCentroids(path: String): Array[Array[Float]] =
+    java.nio.file.Files.readString(centroidsFile(path))
+      .split("\n").map(_.split(",").map(_.toFloat))
+
+  /** IVF probe: score the query against the k centroids DRIVER-side (k is
+    * tiny), read only the `nprobe` nearest cells (partition pruning — the
+    * probe filter is on the partition column), exact-rerank, top-k. */
+  def topKIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = readIvfCentroids(path)
+    val probes = cents.zipWithIndex
+      .map { case (c, i) => (i, cosine(query, c)) }
+      .sortBy { case (i, c) => (-c, i) }
+      .take(nprobe).map(_._1)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probes: _*)) // partition pruning (IO prune)
+      .select(col("id"), round(cosineToQuery(col("v"), query), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
 }

@@ -90,6 +90,24 @@ object StreamOps {
     }
   }
 
+  /** Streaming exact dedup — emit only the FIRST occurrence of each
+    * content hash; the streaming face of [[graft.ops.Dedup.exactGroups]].
+    * Built on Spark's NATIVE `dropDuplicatesWithinWatermark` (compose
+    * existing operators before custom state): state holds one entry per
+    * distinct hash and the watermark evicts entries older than the dedup
+    * horizon — bounded state on an unbounded stream, keyed on the content
+    * hash so it distributes with the shuffle. Cross-horizon dedup belongs
+    * to the batch path (anti-join against the lake's historical hashes).
+    * On a batch frame this degrades to plain `dropDuplicates` — same
+    * per-batch semantics, which keeps the plan runnable both ways. */
+  def dedupeStream(docs: DataFrame, contentCol: String = "doc",
+      lateness: String = "10 minutes"): DataFrame = {
+    val hashed = docs.withColumn("_chash", sha2(col(contentCol), 256))
+      .withWatermark("ts", lateness)
+    if (docs.isStreaming) hashed.dropDuplicatesWithinWatermark("_chash")
+    else hashed.dropDuplicates("_chash")
+  }
+
   /** Gap-based sessionization per repo with `flatMapGroupsWithState`:
     * consecutive events of a repo within `gapMs` belong to one session;
     * a session closes (and emits) when the event-time watermark passes

@@ -147,6 +147,50 @@ class OpsSpec extends AnyFunSuite {
       scanned.collect().map(_.toString).toSeq)
   }
 
+  test("IVF: nprobe = k probes every cell and reproduces brute-force top-k") {
+    val q = embeddings.filter(col("vec_id") === 3)
+      .head().getSeq[Float](1).toArray
+    val idx = SparkTestSession.tmpDir("graft-ivfidx-")
+    Similarity.ivfIndexVectors(embeddings, "vec_id", "embedding", idx, k = 8)
+    val exact = Similarity
+      .topKBruteForce(embeddings, "vec_id", "embedding", q, 10)
+      .collect().map(_.toString).toSeq
+    val ivf = Similarity.topKIvf(spark, idx, q, 10, nprobe = 8)
+      .collect().map(_.toString).toSeq
+    assertResult(exact)(ivf)
+  }
+
+  test("IVF: planted same-direction twins share the query's cell (nprobe=1 recall)") {
+    // a ×2-scaled copy has IDENTICAL cosine to every centroid, so the
+    // deterministic argmax assigns it the query's own cell — nprobe=1
+    // must recall all twins (plus the query vector itself at rank ≤ 6)
+    val twins = embeddings.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 9000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val df = embeddings.select("vec_id", "embedding").unionByName(twins)
+    val idx = SparkTestSession.tmpDir("graft-ivftwin-")
+    Similarity.ivfIndexVectors(df, "vec_id", "embedding", idx, k = 8)
+    val q = embeddings.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).toArray
+    val got = Similarity.topKIvf(spark, idx, q, 2, nprobe = 1)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got == Set(0L, 9000L), s"nprobe=1 missed the twin cell: $got")
+  }
+
+  test("IVF training: centroids are unit-norm and assignment is total") {
+    val cents = Similarity.ivfTrain(embeddings, "vec_id", "embedding",
+      k = 8, iters = 2)
+    assert(cents.length == 8)
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"centroid norm $n")
+    }
+    val assigned = Similarity.ivfAssign(embeddings, "vec_id", "embedding", cents)
+    assert(assigned.count() == embeddings.count())
+    assert(assigned.agg(min("cell"), max("cell")).head().toSeq
+      .forall { case c: Int => c >= 0 && c < 8 })
+  }
+
   // ---------- text ----------
 
   test("quality features: deterministic, sane ranges") {

@@ -72,6 +72,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("PartitionFilters: []"), s"empty partition filter:\n$p")
   }
 
+  test("ann_ivf: probe filter reaches the scan as PARTITION pruning (IO prune)") {
+    val p = plan("ann_ivf")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell"), s"probe filter not pruning partitions:\n$p")
+    assert(!p.contains("PartitionFilters: []"), s"empty partition filter:\n$p")
+  }
+
   test("q2/q3: customer broadcast comes from AQE at small SF, not a forced hint") {
     // the hint was removed (customer grows with SF; forcing it OOMs at
     // 100×) — at sf0.001 AQE must still pick a broadcast join on its own

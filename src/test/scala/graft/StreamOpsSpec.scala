@@ -67,6 +67,26 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!byBatch.contains((5L, true)))
   }
 
+  test("dedupeStream: native streaming dedup keeps first occurrence per content hash") {
+    val in = MemoryStream[ChangeEvent](spark)
+    val q = StreamOps.dedupeStream(in.toDF(), "doc", lateness = "10 minutes")
+      .select("lsn", "_chash")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    // same doc content delivered 3 times across two micro-batches (only
+    // the first emits), plus two distinct docs
+    in.addData(ev(1, "insert", "a", 10, "r1"), ev(2, "insert", "a", 20, "r1"),
+      ev(3, "insert", "b", 30, "r1"))
+    q.processAllAvailable()
+    in.addData(ev(4, "insert", "a", 40, "r1"), ev(5, "insert", "c", 50, "r1"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup").collect()
+    assert(rows.length == 3, s"expected 3 distinct docs, got ${rows.length}")
+    // the duplicate group kept its FIRST delivery (lsn 1, not 2 or 4)
+    assert(rows.map(_.getAs[Long]("lsn")).toSet == Set(1L, 3L, 5L))
+  }
+
   test("sessionize: flatMapGroupsWithState closes sessions on gap") {
     val in = MemoryStream[ChangeEvent](spark)
     val q = StreamOps.sessionize(in.toDF(), gapMs = 30000L,
