@@ -124,11 +124,69 @@ object expressions {
   def hyperplaneSig(c: Column, bits: Int, seed: Long): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(c), bits, seed))
 
-  /** SQL registration: `SELECT simhash64(text), fingerprint64(text) ...` */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
+  /** SQL registration on an EXISTING session:
+    * `SELECT simhash64(text), minhash_sig(text, 5, 64), ...`.
+    * New sessions get the same functions without any library call via
+    * `spark.sql.extensions=graft.GraftExtensions`. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftFunctions.all.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
+}
+
+/** The one shared table of graft SQL functions: name + doc + builder,
+  * consumed by both [[graft.GraftExtensions]] (session-build injection)
+  * and [[expressions.registerAll]] (existing-session registration). */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
   }
+  private def longLit(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+  private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${es.length}")
+
+  type Entry =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def fn(name: String, usage: String,
+      builder: Seq[Expression] => Expression): Entry =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      builder)
+
+  val all: Seq[Entry] = Seq(
+    fn("simhash64", "simhash64(text) - 64-bit near-dup SimHash",
+      es => { arity("simhash64", es, 1); SimHash64(es.head) }),
+    fn("fingerprint64",
+      "fingerprint64(text) - Karp-Rabin winnowed document fingerprint",
+      es => { arity("fingerprint64", es, 1); Fingerprint64(es.head) }),
+    fn("minhash_sig",
+      "minhash_sig(text, k, numHashes) - MinHash signature over char k-shingles",
+      es => { arity("minhash_sig", es, 3)
+        MinHashSig(es.head, intLit(es(1), "minhash_sig", "k"),
+          intLit(es(2), "minhash_sig", "numHashes")) }),
+    fn("word_minhash_sig",
+      "word_minhash_sig(text, n, numHashes) - MinHash over word n-grams",
+      es => { arity("word_minhash_sig", es, 3)
+        WordMinHashSig(es.head, intLit(es(1), "word_minhash_sig", "n"),
+          intLit(es(2), "word_minhash_sig", "numHashes")) }),
+    fn("hyperplane_sig",
+      "hyperplane_sig(vec, bits, seed) - random-hyperplane LSH sign bits",
+      es => { arity("hyperplane_sig", es, 3)
+        HyperplaneSig(es.head, intLit(es(1), "hyperplane_sig", "bits"),
+          longLit(es(2), "hyperplane_sig", "seed")) }),
+  )
 }

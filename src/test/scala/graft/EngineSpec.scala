@@ -167,6 +167,31 @@ class EngineSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("explicit deleteIds under the lsn domain need a per-key delete lsn; ordering is honored") {
+    val (e, _) = newEngine()
+    e.load("testd2s", Seq(Fixtures.doc1).toDF("doc")
+      .withColumn("lsn", lit(5L)), "doc", "t:1", seqCol = Some("lsn"))
+    // 1-column deleteIds with a monotone seqCol: rejected loudly (a
+    // guessed lsn would silently mis-order deletes, ADVICE r2)
+    val ex = intercept[IllegalArgumentException] {
+      e.load("testd2s", spark.emptyDataFrame.select(lit("x").as("doc"))
+        .withColumn("lsn", lit(6L)).limit(0), "doc", "t:2",
+        seqCol = Some("lsn"),
+        deleteIds = Some(Seq("doc-0001").toDF("id")))
+    }
+    assert(ex.getMessage.contains("deleteLsn"))
+    // STALE delete (lsn 3 < row's lsn 5): must NOT shadow the row
+    e.load("testd2s", Seq.empty[String].toDF("doc")
+      .withColumn("lsn", lit(0L)), "doc", "t:3", seqCol = Some("lsn"),
+      deleteIds = Some(Seq(("doc-0001", 3L)).toDF("id", "dlsn")))
+    assert(readTable(e, "testd2s", "testd2s").count() == 1)
+    // NEWER delete (lsn 9): shadows it
+    e.load("testd2s", Seq.empty[String].toDF("doc")
+      .withColumn("lsn", lit(0L)), "doc", "t:4", seqCol = Some("lsn"),
+      deleteIds = Some(Seq(("doc-0001", 9L)).toDF("id", "dlsn")))
+    assert(readTable(e, "testd2s", "testd2s").count() == 0)
+  }
+
   test("loose-rev quirk: numeric rev and string rev compare equal in incr skip (sqlDML.ts:433)") {
     // The reference's revision compare is JS loose `==`, so {"rev":1}
     // matches a stored "1". Our extraction (get_json_object) yields the

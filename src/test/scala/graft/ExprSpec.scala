@@ -78,4 +78,40 @@ class ExprSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("parameterized SQL functions: literal args parsed, non-literals rejected") {
+    expressions.registerAll(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("g_docs2")
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(text, 5, 64) AS m, word_minhash_sig(text, 3, 32) AS w " +
+        "FROM g_docs2 ORDER BY doc_id LIMIT 3").collect()
+    val direct = docs.select(
+      expressions.minhashSig(col("text"), 5, 64).as("m"),
+      expressions.wordMinhashSig(col("text"), 3, 32).as("w"))
+      .orderBy("doc_id").limit(3).collect()
+    assert(viaSql.map(_.toString).toSeq == direct.map(_.toString).toSeq)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("g_emb")
+    val sigs = spark.sql(
+      "SELECT hyperplane_sig(embedding, 16, 42) AS s FROM g_emb LIMIT 3")
+      .collect()
+    assert(sigs.forall(r => !r.isNullAt(0)))
+    val err = intercept[Exception](
+      spark.sql("SELECT minhash_sig(text, doc_id, 64) FROM g_docs2 LIMIT 1")
+        .collect())
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
+
+  test("GraftExtensions injects the full function table at session build") {
+    // the extensions seam itself (spark.sql.extensions=graft.GraftExtensions)
+    // can only run at SparkSession construction; here we verify the class
+    // wires every GraftFunctions entry into an injection list without error
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    // and that the shared table covers all five kernels
+    assert(graft.functions.GraftFunctions.all.map(_._1.funcName).toSet ==
+      Set("simhash64", "fingerprint64", "minhash_sig", "word_minhash_sig",
+        "hyperplane_sig"))
+  }
 }
