@@ -333,6 +333,25 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), graft.functions.expressions
           .fingerprint64(col("text")).as("fingerprint"))),
+    "text_fingerprint_planted" -> ((s, dir) => {
+      // oracled companion for the hash-kernel query: identical text ⇒
+      // identical winnowed fingerprint, so a fingerprint-equality
+      // self-join MUST surface every planted (i, i+1e6) copy — the oracle
+      // enumerates exactly those pairs (same pattern as
+      // dedup_simhash_planted). Verifies the kernel's determinism and
+      // the join plumbing end to end.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val subset = docs.filter(col("doc_id") < 200)
+      val copies = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val fp = subset.unionByName(copies)
+        .select(col("doc_id"), graft.functions.expressions
+          .fingerprint64(col("text")).as("f"))
+      fp.select(col("doc_id").as("id1"), col("f"))
+        .join(fp.select(col("doc_id").as("id2"), col("f")), Seq("f"))
+        .filter(col("id2") === col("id1") + 1000000L)
+        .select("id1", "id2")
+    }),
 
     // ---- multimodal plumbing (synthetic payloads; decode stubbed) ----
     "mm_decode" -> ((s, dir) => {
@@ -661,6 +680,9 @@ object SparkEntry {
     "dedup_minhash_planted" ->
       """SELECT doc_id AS id1, doc_id + 1000000 AS id2,
         |  CAST(1.0 AS DOUBLE) AS est_jaccard
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+    "text_fingerprint_planted" ->
+      """SELECT doc_id AS id1, doc_id + 1000000 AS id2
         |FROM documents WHERE doc_id < 50""".stripMargin,
 
     // recall containment recomputed over the two dumped top-k results —
