@@ -404,17 +404,48 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
 
   /** Structured-Streaming entry: change-event tail → lake tables.
     * Exactly-once: Spark checkpointing replays unacknowledged batches and
-    * the lake's commit tags make re-application a no-op. */
+    * the lake's commit tags make re-application a no-op.
+    *
+    * Applied-event metrics (the north rule's operational surface, beside
+    * the per-bucket lineage each snapshot carries): every micro-batch
+    * appends one JSON line — batch id, events, deduped docs, deletes,
+    * revision-skips, tables touched, apply wall — to
+    * `<lakeRoot>/_metrics_<entity>.jsonl` and hands the same stats to
+    * `onStats`. A checkpoint-replayed batch records its (zero-work,
+    * idempotent) line too, so the log shows the recovery. */
   def stream(entity: String, events: DataFrame, checkpoint: String,
-      queryName: String = "graft-cdc"): org.apache.spark.sql.streaming.StreamingQuery =
+      queryName: String = "graft-cdc",
+      onStats: (Long, ApplyStats) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyEvents(entity, batch, commitTag = s"$queryName:$batchId")
+        val t0 = System.nanoTime()
+        val stats = applyEvents(entity, batch, commitTag = s"$queryName:$batchId")
+        appendMetrics(entity, queryName, batchId, stats,
+          (System.nanoTime() - t0) / 1000000)
+        onStats(batchId, stats)
         ()
       }
       .start()
+
+  /** One JSONL line per applied micro-batch. Plain append: the driver is
+    * the only writer per (entity, query) — a metrics log, not a ledger
+    * (the exactly-once ledger is the lake's commit tags + lineage). */
+  private def appendMetrics(entity: String, queryName: String,
+      batchId: Long, s: ApplyStats, wallMs: Long): Unit = {
+    val line = s"""{"ts":${System.currentTimeMillis()},""" +
+      s""""query":"$queryName","batch":$batchId,""" +
+      s""""batchEvents":${s.batchEvents},"dedupedDocs":${s.dedupedDocs},""" +
+      s""""deletes":${s.deletes},"skippedUnchanged":${s.skippedUnchanged},""" +
+      s""""tables":${s.tables},"wallMs":$wallMs}\n"""
+    Files.write(Paths.get(lakeRoot, s"_metrics_$entity.jsonl"),
+      line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    ()
+  }
 
   /** Bootstrap from a TABLE SNAPSHOT (the north rule's input shape — an
     * Iceberg-style table of source-code repositories, e.g.

@@ -52,7 +52,7 @@ class StreamSpec extends AnyFunSuite {
     // final state equals a clean single-shot replay of all 600 events
     val cleanRoot = SparkTestSession.tmpDir("graft-clean-lake-")
     val cleanEngine = new Engine(spark, cleanRoot, numBuckets = 8)
-    cleanEngine.applyEvents("repos", all, "clean:0")
+    val cleanStats = cleanEngine.applyEvents("repos", all, "clean:0")
     val cleanSpec = Catalog.fromTree(cleanEngine.loadRegistry("repos").get)
       .find(_.isRoot).get
 
@@ -68,5 +68,20 @@ class StreamSpec extends AnyFunSuite {
     val tags = engine.table(rootSpec).snapshot().lineage.map(_.tag)
     assert(tags.distinct.size == tags.size)
     assert(tags.size >= 2)
+
+    // applied-event metrics: one JSONL line per micro-batch, spanning the
+    // restart; applied counts are post-dedup, so across batches they are
+    // bounded below by the clean single-shot apply (cross-batch updates
+    // count once per batch) and above by the raw tail
+    val metrics = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(lakeRoot, "_metrics_repos.jsonl"))
+    assert(metrics.size() >= 3, s"expected ≥3 batch lines, got $metrics")
+    val fields = "\"batchEvents\":(\\d+)".r
+    val total = metrics.toArray.map(l =>
+      fields.findFirstMatchIn(l.toString).get.group(1).toLong).sum
+    val cleanApplied = cleanStats.batchEvents
+    assert(total >= cleanApplied && total <= 600,
+      s"metrics events sum $total outside [$cleanApplied, 600]")
+    assert(metrics.toArray.forall(_.toString.contains("\"tables\":")))
   }
 }
