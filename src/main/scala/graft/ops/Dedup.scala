@@ -36,23 +36,34 @@ object Dedup {
 
   // ---------- shingles / minhash ----------
 
+  /** Sort a primitive hash array in place and return the distinct prefix
+    * copied out — the boxing-free replacement for a TreeSet (the boxed
+    * set dominated the shingle kernels' allocation profile). */
+  private def sortedDistinct(h: Array[Long], n: Int): Array[Long] = {
+    java.util.Arrays.sort(h, 0, n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      if (w == 0 || h(i) != h(w - 1)) { h(w) = h(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(h, w)
+  }
+
   /** Character k-shingle hash set of a string (sorted, distinct). */
   def shingles(text: String, k: Int): Array[Long] = {
     if (text.length < k) return Array(mix(text.hashCode.toLong))
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val n = text.length - k + 1
+    val hs = new Array[Long](n)
     var i = 0
-    while (i + k <= text.length) {
+    while (i < n) {
       var h = 1125899906842597L
       var j = i
       while (j < i + k) { h = 31 * h + text.charAt(j); j += 1 }
-      set.add(mix(h))
+      hs(i) = mix(h)
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var n = 0
-    while (it.hasNext) { out(n) = it.next(); n += 1 }
-    out
+    sortedDistinct(hs, n)
   }
 
   /** WORD n-gram shingle hash set (sorted, distinct). Words = space-split,
@@ -65,9 +76,10 @@ object Dedup {
   def wordShingles(text: String, n: Int): Array[Long] = {
     val words = text.split(" ").filter(_.nonEmpty)
     if (words.length < n) return Array(mix(text.hashCode.toLong))
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val cnt = words.length - n + 1
+    val hs = new Array[Long](cnt)
     var i = 0
-    while (i + n <= words.length) {
+    while (i < cnt) {
       var h = 1125899906842597L
       var g = i
       while (g < i + n) {
@@ -77,14 +89,10 @@ object Dedup {
         h = 31 * h + ' ' // word separator keeps the hash gram-injective
         g += 1
       }
-      set.add(mix(h))
+      hs(i) = mix(h)
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var k2 = 0
-    while (it.hasNext) { out(k2) = it.next(); k2 += 1 }
-    out
+    sortedDistinct(hs, cnt)
   }
 
   /** MinHash signature over WORD n-gram shingles. */
