@@ -45,6 +45,14 @@ final case class Snapshot(
                                    // two would silently break LWW, so the
                                    // first data merge pins it and later
                                    // merges must match
+    numBuckets: Int = 0,           // PERSISTED bucket count — the layout
+                                   // is a property of the data, not the
+                                   // opener: a session constructing the
+                                   // table with a different constructor
+                                   // default must keep hashing keys the
+                                   // way the segments were written
+                                   // (0 = pre-persistence snapshot:
+                                   // fall back to the constructor)
 ) {
   def schema: StructType = schemas(schemaVer)
   private lazy val commitSet = commits.toSet
@@ -173,8 +181,9 @@ final class LakeTable(val spark: SparkSession, val root: String,
           l.get("wallMs").collect { case JNum(n) => n.toLong }.getOrElse(0L))
       case _ => throw new IllegalStateException("bad lineage")
     }
+    val nb = o.get("numBuckets").collect { case JNum(n) => n.toInt }.getOrElse(0)
     Snapshot(v, schemaVer, schemas, keyCols, rootKey, segs, commits, lineage,
-      seqDomain)
+      seqDomain, nb)
   }
 
   private def writeSnapshot(s: Snapshot): Unit = {
@@ -188,6 +197,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       "keyCols" -> JArr(s.keyCols.map(JStr(_): JValue).toVector),
       "rootKey" -> JStr(s.rootKey),
       "seqDomain" -> JStr(s.seqDomain),
+      "numBuckets" -> JNum(s.numBuckets.toString),
       "segments" -> JArr(s.segments.map(seg => JObj(Vector(
         "path" -> JStr(seg.path), "bucket" -> JNum(seg.bucket.toString),
         "schemaVer" -> JNum(seg.schemaVer.toString),
@@ -211,12 +221,13 @@ final class LakeTable(val spark: SparkSession, val root: String,
 
   // ---------- DDL ----------
 
-  /** Create the table (v1 snapshot, no data). No-op if it exists. */
+  /** Create the table (v1 snapshot, no data; the constructor's bucket
+    * count becomes the PERSISTED layout). No-op if it exists. */
   def create(schema: StructType, keyCols: Seq[String],
       rootKey: String): Unit = if (!exists()) {
     Files.createDirectories(dir.resolve("data"))
     writeSnapshot(Snapshot(1, 1, Map(1 -> schema), keyCols, rootKey, Nil,
-      Nil, Nil))
+      Nil, Nil, numBuckets = numBuckets))
   }
 
   /** Additive schema evolution (alterTables, sqlDDL.ts:27-65): commit a
@@ -326,10 +337,20 @@ final class LakeTable(val spark: SparkSession, val root: String,
 
   // ---------- merge (the reference's MERGE INTO, set-oriented MoR) ----------
 
+  /** The table's EFFECTIVE bucket count: the snapshot's persisted layout;
+    * constructor fallback only for pre-persistence snapshots. */
+  private def bucketsOf(s: Snapshot): Int =
+    if (s.numBuckets > 0) s.numBuckets else numBuckets
+
   /** Bucket expression over the table's root-key column — co-partitions
-    * all tables of one document family into the same bucket. */
+    * all tables of one document family into the same bucket. Uses the
+    * CURRENT snapshot's persisted count (an opener constructed with a
+    * different default must keep hashing the way the data is laid out). */
   def bucketExpr(rootKey: Column): Column =
-    pmod(xxhash64(rootKey), lit(numBuckets)).cast(IntegerType)
+    bucketExpr(rootKey, bucketsOf(snapshot()))
+
+  private def bucketExpr(rootKey: Column, n: Int): Column =
+    pmod(xxhash64(rootKey), lit(n)).cast(IntegerType)
 
   /** Idempotent merge-on-read upsert:
     *   - `updates` rows shadow older rows with the same `keyCols`
@@ -404,8 +425,9 @@ final class LakeTable(val spark: SparkSession, val root: String,
         .withColumn(SeqCol, seqExpr)
         .withColumn(DelCol, lit(true)), metaTarget)
     }
+    val nb = bucketsOf(s)
     val up = tombRows.fold(upRows)(upRows.unionByName(_))
-      .withColumn(BucketCol, bucketExpr(col(rootKeyCol)))
+      .withColumn(BucketCol, bucketExpr(col(rootKeyCol), nb))
 
     // buckets already at the delta cap go straight to compaction (known
     // from the snapshot alone — no pre-scan of the batch needed)
@@ -427,7 +449,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
     up.observe(obs, collect_set(col(BucketCol)).as("buckets"),
         count(when(!col(DelCol), 1)).as("nup"),
         count(when(col(DelCol), 1)).as("ndel"))
-      .repartition(numBuckets, col(BucketCol))
+      .repartition(nb, col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite")
       .parquet(dir.resolve(rel).toString)
     // AQE empty-propagation can eliminate the CollectMetrics node when the
@@ -491,8 +513,8 @@ final class LakeTable(val spark: SparkSession, val root: String,
         .withColumn(DelCol, lit(true)), metaTarget)
     val rel = f"data/c$ver%05db"
     winners.unionByName(toms)
-      .withColumn(BucketCol, bucketExpr(col(rootKeyCol)))
-      .repartition(math.max(1, math.min(numBuckets, nBuckets)),
+      .withColumn(BucketCol, bucketExpr(col(rootKeyCol), bucketsOf(s)))
+      .repartition(math.max(1, math.min(bucketsOf(s), nBuckets)),
         col(BucketCol))
       .sortWithinPartitions(keyCols.map(col): _*)
       .write.partitionBy(BucketCol).mode("overwrite")
@@ -542,6 +564,41 @@ final class LakeTable(val spark: SparkSession, val root: String,
       commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
       lineage = (s.lineage :+ Lineage(commitTag, dirty.toSeq.sorted, 0, 0,
         dirty.toSeq.sorted, 0)).takeRight(maxLineage))
+    writeSnapshot(next)
+    next
+  }
+
+  /** Re-layout the table into `newBuckets` hash buckets — the GROWTH path
+    * (Iceberg rewrite-with-new-partition-spec / Hudi clustering shape): a
+    * table created with N buckets at small scale needs more as data
+    * grows, or per-bucket files blow past executor-memory-sized splits.
+    * One job: the fully-resolved state plus live tombstones is rewritten
+    * as one base segment per NEW bucket, and the commit atomically swaps
+    * every segment and pins the new count — readers see the old layout
+    * until the snapshot publishes, and subsequent merges hash with the
+    * new modulus. Cost = one full rewrite, same as a full compaction;
+    * run it from `maintain`-style windows, not the hot path.
+    * Idempotent by tag; no-op when the count is unchanged. */
+  def rebucket(newBuckets: Int, commitTag: String,
+      expireTombstonesBelow: Option[Long] = None): Snapshot = {
+    require(newBuckets > 0, "newBuckets must be positive")
+    val s = snapshot()
+    if (s.hasCommit(commitTag)) return s
+    if (bucketsOf(s) == newBuckets && s.numBuckets > 0) return s
+    val ver = s.version + 1
+    // writeBase buckets with the TARGET layout (bucketsOf reads it off
+    // the snapshot it is handed)
+    val relaid = s.copy(numBuckets = newBuckets)
+    val newSegs =
+      if (s.segments.isEmpty) Nil
+      else writeBase(relaid, ver, readRaw(s, _ => true), s.keyCols,
+        s.rootKey, newBuckets, expireTombstonesBelow)
+    val next = relaid.copy(version = ver,
+      segments = newSegs,
+      commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
+      lineage = (s.lineage :+ Lineage(commitTag,
+        newSegs.map(_.bucket).sorted, 0, 0,
+        newSegs.map(_.bucket).sorted, 0)).takeRight(maxLineage))
     writeSnapshot(next)
     next
   }

@@ -193,6 +193,59 @@ class LakeSpec extends AnyFunSuite {
     assert(pruned == b0 && pruned.nonEmpty && pruned.size < keys.size)
   }
 
+  test("bucket layout is pinned by the snapshot, not the opener's constructor") {
+    val root = SparkTestSession.tmpDir("graft-lakespec-")
+    val t4 = new LakeTable(spark, root, "T", numBuckets = 4)
+    t4.create(schema, Seq("ID"), "ID")
+    t4.merge((1 to 20).map(i => s"k$i" -> "old").toDF("ID", "V"),
+      Seq("ID"), "ID", "c1")
+    // a different session reopens with ANOTHER constructor default — its
+    // merges MUST hash with the persisted 4-bucket layout, or the same
+    // key lands in different buckets across segments and the clean-bucket
+    // fast path emits stale duplicates
+    val t16 = new LakeTable(spark, root, "T", numBuckets = 16)
+    t16.merge((1 to 20).map(i => s"k$i" -> "new").toDF("ID", "V"),
+      Seq("ID"), "ID", "c2")
+    val got = t16.read().collect().map(r => r.getString(0) -> r.getString(1))
+    assert(got.length == 20, s"expected 20 rows, got ${got.length}")
+    assert(got.forall(_._2 == "new"))
+    assert(t16.snapshot().numBuckets == 4)
+    assert(t16.snapshot().segments.forall(_.bucket < 4))
+  }
+
+  test("rebucket: atomic re-layout to more buckets preserves state; merges follow") {
+    val t = newTable(maxDeltas = 100)
+    t.merge((1 to 30).map(i => s"k$i" -> "v1").toDF("ID", "V"),
+      Seq("ID"), "ID", "c1")
+    t.merge((1 to 10).map(i => s"k$i" -> "v2").toDF("ID", "V"),
+      Seq("ID"), "ID", "c2")
+    t.merge(df(), Seq("ID"), "ID", "c3",
+      deleteRootKeys = Some(Seq("k30").toDF("ID")))
+    val before = t.read().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val snap = t.rebucket(16, "grow:16")
+    assert(snap.numBuckets == 16)
+    assert(snap.segments.forall(_.kind == "base"))
+    assert(snap.segments.map(_.bucket).distinct.size > 4)
+    val after = t.read().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after == before && !after.contains("k30") && after("k1") == "v2")
+    // idempotent re-apply; unchanged-count no-op
+    assert(t.rebucket(16, "grow:16").version == snap.version)
+    assert(t.rebucket(16, "grow:again").segments == snap.segments)
+    // subsequent merges hash with the new modulus (buckets beyond 4 appear)
+    t.merge((31 to 60).map(i => s"x$i" -> "v3").toDF("ID", "V"),
+      Seq("ID"), "ID", "c4")
+    assert(t.read().count() == before.size + 30)
+    assert(t.snapshot().segments.exists(s => s.kind == "delta" && s.bucket >= 4))
+    // bucket-pruned reads agree with the new layout
+    val withB = t.read().withColumn("_b", t.bucketExpr(col("ID")))
+    val b0 = withB.filter(col("_b") === 0).select("ID")
+      .collect().map(_.getString(0)).toSet
+    assert(t.readBuckets(Set(0)).select("ID")
+      .collect().map(_.getString(0)).toSet == b0)
+  }
+
   test("compacted table reads with ZERO exchanges (clean-bucket fast path)") {
     val t = newTable(maxDeltas = 100)
     (1 to 4).foreach(i => t.merge(df(s"k$i" -> i.toString), Seq("ID"), "ID", s"c$i"))
