@@ -146,6 +146,20 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       }
     }
 
+  /** Grow every table of an entity to `newBuckets` hash buckets (see
+    * [[LakeTable.rebucket]]) — run from a maintenance window as data
+    * outgrows the creation-time layout. All tables move together so the
+    * document family stays co-bucketed across parent/child tables. */
+  def rebucket(entity: String, newBuckets: Int,
+      tag: String = "rebucket"): Unit =
+    loadRegistry(entity).foreach { tree =>
+      Catalog.fromTree(tree).foreach { t =>
+        val lake = table(t)
+        if (lake.exists())
+          lake.rebucket(newBuckets, s"$tag:$newBuckets:${t.fullName}")
+      }
+    }
+
   /** Root-key column name inside a table frame: the outermost FK for child
     * tables, ID for the root. */
   private def rootKeyOf(t: TableSpec): String =

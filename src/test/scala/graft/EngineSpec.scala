@@ -418,6 +418,27 @@ class EngineSpec extends AnyFunSuite {
     assert(after == before && after.nonEmpty)
   }
 
+  test("engine rebucket: whole family re-laid, tail keeps applying, state intact") {
+    val (e, _) = newEngine() // 8 buckets at creation
+    e.load("testd2s", Seq(Fixtures.doc1).toDF("doc")
+      .withColumn("lsn", lit(0L)), "doc", "t:1", seqCol = Some("lsn"))
+    e.load("testd2s", Seq(Fixtures.doc2).toDF("doc")
+      .withColumn("lsn", lit(1L)), "doc", "t:2", seqCol = Some("lsn"))
+    val before = readTable(e, "testd2s", "testd2s")
+      .collect().map(_.toString).sorted.toSeq
+    e.rebucket("testd2s", 32)
+    assert(tablesOf(e, "testd2s").forall(t =>
+      e.table(t).snapshot().numBuckets == 32))
+    assert(readTable(e, "testd2s", "testd2s")
+      .collect().map(_.toString).sorted.toSeq == before)
+    // the CDC tail keeps applying against the new layout
+    e.applyEvents("testd2s", Seq(
+      (10L, "delete", """{"id":"doc-0001","rev":"9.x"}"""))
+      .toDF("lsn", "op", "doc"), "t:3")
+    assert(readTable(e, "testd2s", "testd2s").collect()
+      .map(_.getAs[String]("ID")).toSeq == Seq("doc-0002"))
+  }
+
   test("hot-key dedup combines MAP-SIDE: shuffle records ≈ distinct keys, not events") {
     // one pathological key carries 20k of 21k events. With the max_by
     // hash aggregation, duplicate versions collapse in the partial agg
