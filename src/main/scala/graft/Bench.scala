@@ -206,8 +206,9 @@ object Bench {
     // cross-session windows pay a fresh-JVM tax even after a warm-up
     // replay; two windows per level decorrelate multi-minute host-steal
     // bursts, and the budget guard sheds samples when the box is slow.
-    // Round 0 additionally takes ONE single-batch reference sample per
-    // level (comparability with r1/r2 and the per-batch-overhead story).
+    // Every round additionally takes one single-batch reference sample
+    // per level (comparability with r1/r2 and the per-batch-overhead
+    // story) — best-of across rounds, like the main samples.
     val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
     val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "1").toInt
     def withinBudget: Boolean =
@@ -237,8 +238,10 @@ object Bench {
           if (i == 0 || withinBudget)
             lows += replay(spark, nEvents, batches, 32)
         }
-        if (round == 0 && batches > 1)
-          lows1 += replay(spark, nEvents1, 1, 32)
+        // single-batch reference in EVERY entered round (paired with the
+        // high side below): one sample per level per round is steal-
+        // fragile — a burst on the lone high sample once recorded 0.481
+        if (batches > 1) lows1 += replay(spark, nEvents1, 1, 32)
         spark.stop()
         spark = clusterSession(4)
         warmUp(spark)
@@ -246,8 +249,7 @@ object Bench {
           if (i == 0 || (withinBudget && highs.size < lows.size))
             highs += replay(spark, nEvents, batches, 32)
         }
-        if (round == 0 && batches > 1)
-          highs1 += replay(spark, nEvents1, 1, 32)
+        if (batches > 1) highs1 += replay(spark, nEvents1, 1, 32)
         spark.stop()
       }
     }
@@ -263,6 +265,8 @@ object Bench {
         val e1 = (nEvents1 / h1) / (4.0 * (nEvents1 / l1))
         s""""single_batch":{"events":$nEvents1,""" +
           s""""secs_low":${f"$l1%.2f"},"secs_high":${f"$h1%.2f"},""" +
+          s""""samples_low":${lows1.map(x => f"$x%.2f").mkString("[", ",", "]")},""" +
+          s""""samples_high":${highs1.map(x => f"$x%.2f").mkString("[", ",", "]")},""" +
           s""""eps_high":${f"${nEvents1 / h1}%.1f"},""" +
           s""""scaling_efficiency":${f"$e1%.3f"}},"""
       }
