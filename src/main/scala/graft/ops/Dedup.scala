@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for training-data pipelines, each designed to
   * scale: exact dedup is one hash-groupBy; the near-dup families
   * (MinHash+LSH, SimHash, embedding-LSH) all follow the same shape —
-  * signature → band/bucket key → self-join WITHIN buckets only — so the
-  * candidate join never goes quadratic and shuffles only on bucket keys.
+  * signature → band/bucket key → in-bucket pair enumeration
+  * ([[Dedup.bucketPairs]]: ONE bucket shuffle, capped, no self-join) — so
+  * candidate generation never goes quadratic and the signature kernel
+  * runs once per row.
   */
 object Dedup {
 
@@ -170,43 +172,64 @@ object Dedup {
               exception: Exception): Unit = ()
         })
 
-  /** Hot-bucket guard shared by every LSH family: drop bucket groups
-    * larger than `cap`. A (band,hash) bucket of size b emits b² candidate
-    * pairs — at web scale, boilerplate-heavy corpora produce monster
-    * buckets (the same license header in 10M files) that would otherwise
-    * go quadratic. Oversized buckets carry almost no dedup signal
-    * (everything in them is near-identical to everything else), so the
-    * standard move is to cap and report — ON BY DEFAULT
-    * ([[DefaultMaxBucket]]); `None` is the explicit opt-out.
+  /** All unordered element pairs (i < j in array order) of an array of
+    * structs, as a pure column expression — the in-bucket candidate
+    * enumeration. */
+  private def pairCombinations(a: Column): Column =
+    flatten(transform(a, (x, i) =>
+      transform(slice(a, i + lit(2), greatest(size(a) - i - 1, lit(0))),
+        y => struct(x.as("l"), y.as("r")))))
+
+  /** Intra-bucket candidate-pair enumeration shared by every LSH family:
+    * group rows by the bucket key, collect each bucket ONCE, and explode
+    * its i<j combinations. Two properties a bucketed SELF-JOIN lacks:
     *
-    * No silent truncation, no extra job: the bucket-size window rides the
-    * same (band,key) partitioning the join needs, and the dropped-row
-    * count is an `observe` metric logged by a QueryExecutionListener when
-    * the plan runs (an eager count here would cost one Spark job per
-    * dedup call even when nothing exceeds the cap). */
-  private def capBuckets(banded: DataFrame, keyCols: Seq[String],
-      cap: Option[Int]): DataFrame = cap match {
-    case None => banded
-    case Some(c) =>
-      ensureCapReporter(banded.sparkSession)
-      val w = Window.partitionBy(keyCols.map(col): _*)
-      banded.withColumn("_bsz", count(lit(1)).over(w))
-        .observe(s"graft.capdrop.${capDropSeq.incrementAndGet()}",
-          coalesce(sum(when(col("_bsz") > c, 1L)), lit(0L)).as("dropped_rows"),
-          coalesce(max(col("_bsz")), lit(0L)).as("max_bucket"),
-          lit(c.toLong).as("cap"))
-        .filter(col("_bsz") <= c).drop("_bsz")
+    *  - the upstream subtree (scan + signature kernel) is computed ONCE —
+    *    a self-join duplicates the whole plan on both sides (Catalyst has
+    *    no common-subtree elimination above the Exchange), which at
+    *    minimum doubles the compute-dense signature stage;
+    *  - the hot-bucket cap is a `size(bucket) <= cap` filter on the
+    *    grouped array — no window sort. A (band,hash) bucket of size b
+    *    emits b² pairs; at web scale boilerplate corpora produce monster
+    *    buckets (the same license header in 10M files) that would go
+    *    quadratic, and oversized buckets carry almost no dedup signal, so
+    *    the standard move is cap-and-report — ON BY DEFAULT
+    *    ([[DefaultMaxBucket]]); `None` is the explicit opt-out.
+    *
+    * The bucket arrays are bounded by the cap, so `collect_list` memory is
+    * O(cap) per group. Dropped-row accounting is an `observe` metric
+    * logged by a QueryExecutionListener when the plan runs (an eager
+    * count would cost one Spark job per dedup call even when nothing
+    * exceeds the cap). Output: columns `l` and `r`, the two payload
+    * structs of each candidate pair. */
+  private def bucketPairs(banded: DataFrame, keyCols: Seq[String],
+      payload: Column, cap: Option[Int]): DataFrame = {
+    val grouped = banded.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(payload).as("_grp"))
+    val capped = cap match {
+      case None => grouped
+      case Some(c) =>
+        ensureCapReporter(banded.sparkSession)
+        grouped
+          .observe(s"graft.capdrop.${capDropSeq.incrementAndGet()}",
+            coalesce(sum(when(size(col("_grp")) > c,
+              size(col("_grp")).cast("long"))), lit(0L)).as("dropped_rows"),
+            coalesce(max(size(col("_grp"))).cast("long"), lit(0L)).as("max_bucket"),
+            lit(c.toLong).as("cap"))
+          .filter(size(col("_grp")) <= c)
+    }
+    capped.select(explode(pairCombinations(col("_grp"))).as("_pair"))
+      .select(col("_pair.l").as("l"), col("_pair.r").as("r"))
   }
 
   /** MinHash + LSH near-duplicate pairs:
     * shingle → minhash (NATIVE codegen expression — the compute-dense
     * kernel) → band hashes (built-in slice+xxhash64, no UDF) →
-    * explode(bands) → self-join within (band, bandHash) buckets → distinct
-    * pairs → signature-estimate filter (zip_with, codegen'd).
-    * Scale: the only shuffles are the bucket groupBy-join and the final
-    * distinct; no all-pairs comparison ever materializes. `maxBucket`
-    * bounds the worst-case bucket (see [[capBuckets]]).
-    */
+    * explode(bands) → in-bucket pair enumeration ([[bucketPairs]] — one
+    * pass, capped) → signature-estimate filter (zip_with, codegen'd) →
+    * per-pair max across bands.
+    * Scale: two shuffles total (the bucket groupBy and the final pair
+    * dedup); no all-pairs comparison ever materializes. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.6, maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
@@ -217,22 +240,19 @@ object Dedup {
         .as("sig"))
     val bandh = transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))
-    val banded = capBuckets(
-      sigs.select(col("id"), col("sig"), posexplode(bandh).as(Seq("band", "bh"))),
-      Seq("band", "bh"), maxBucket)
-
-    val l = banded.select(col("band"), col("bh"),
-      col("id").as("id1"), col("sig").as("sig1"))
-    val r = banded.select(col("band"), col("bh"),
-      col("id").as("id2"), col("sig").as("sig2"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(bandh).as(Seq("band", "bh")))
     // est Jaccard = matching signature positions / numHashes — pure column
     // expression, stays in whole-stage codegen
-    val est = aggregate(zip_with(col("sig1"), col("sig2"),
+    val est = aggregate(zip_with(col("l.sig"), col("r.sig"),
       (x, y) => (x === y).cast("int")), lit(0), (acc, x) => acc + x)
       .cast("double") / numHashes
-    l.join(r, Seq("band", "bh"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), est.as("est_jaccard"))
+    bucketPairs(banded, Seq("band", "bh"),
+      struct(col("id"), col("sig")), maxBucket)
+      .select(least(col("l.id"), col("r.id")).as("id1"),
+        greatest(col("l.id"), col("r.id")).as("id2"),
+        est.as("est_jaccard"))
+      .filter(col("id1") =!= col("id2")) // duplicate-id input guard
       .filter(col("est_jaccard") >= threshold)
       .groupBy("id1", "id2").agg(max("est_jaccard").as("est_jaccard"))
   }
@@ -261,14 +281,13 @@ object Dedup {
     val sigs = df.select(col(idCol).as("id"), sigExpr.as("sig"))
     val bandh = transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-    val banded = capBuckets(
-      sigs.select(col("id"), posexplode(bandh).as(Seq("band", "bh"))),
-      Seq("band", "bh"), maxBucket)
-    val l = banded.select(col("band"), col("bh"), col("id").as("id1"))
-    val r = banded.select(col("band"), col("bh"), col("id").as("id2"))
-    l.join(r, Seq("band", "bh"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    val banded = sigs.select(col("id"),
+      posexplode(bandh).as(Seq("band", "bh")))
+    bucketPairs(banded, Seq("band", "bh"), struct(col("id")), maxBucket)
+      .select(least(col("l.id"), col("r.id")).as("id1"),
+        greatest(col("l.id"), col("r.id")).as("id2"))
+      .filter(col("id1") =!= col("id2")) // duplicate-id input guard
+      .distinct()
   }
 
   /** Jaccard of two SORTED distinct hash arrays (one merge pass). */
@@ -346,19 +365,17 @@ object Dedup {
     // native codegen'd expression — no UDF in the scan
     val sh = df.select(col(idCol).as("id"),
       graft.functions.expressions.simhash64(col(textCol)).as("sh"))
-    val banded = capBuckets(
-      sh.select(col("id"), col("sh"), explode(array(
-        (0 until 4).map(b => struct(lit(b).as("band"),
-          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*
-      )).as("bk")).select(col("id"), col("sh"),
-        col("bk.band").as("band"), col("bk.key").as("key")),
-      Seq("band", "key"), maxBucket)
-    val l = banded.select(col("band"), col("key"), col("id").as("id1"), col("sh").as("sh1"))
-    val r = banded.select(col("band"), col("key"), col("id").as("id2"), col("sh").as("sh2"))
-    l.join(r, Seq("band", "key"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("int").as("hamming"))
+    val banded = sh.select(col("id"), col("sh"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*
+    )).as("bk")).select(col("id"), col("sh"),
+      col("bk.band").as("band"), col("bk.key").as("key"))
+    bucketPairs(banded, Seq("band", "key"),
+      struct(col("id"), col("sh")), maxBucket)
+      .select(least(col("l.id"), col("r.id")).as("id1"),
+        greatest(col("l.id"), col("r.id")).as("id2"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).cast("int").as("hamming"))
+      .filter(col("id1") =!= col("id2")) // duplicate-id input guard
       .filter(col("hamming") <= maxHamming)
       .groupBy("id1", "id2").agg(min("hamming").as("hamming"))
   }
@@ -389,17 +406,17 @@ object Dedup {
     // and explode the array (bands is small and static)
     val bandKeys = array((0 until bands).map(b =>
       shiftrightunsigned(col("sig"), b * rows).bitwiseAND(lit(mask))): _*)
-    val banded = capBuckets(
-      sigs.select(col("id"), col("v"), posexplode(bandKeys).as(Seq("band", "key"))),
-      Seq("band", "key"), maxBucket)
-    val l = banded.select(col("band"), col("key"), col("id").as("id1"), col("v").as("v1"))
-    val r = banded.select(col("band"), col("key"), col("id").as("id2"), col("v").as("v2"))
-    l.join(r, Seq("band", "key"))
-      .filter(col("id1") < col("id2"))
+    val banded = sigs.select(col("id"), col("v"),
+      posexplode(bandKeys).as(Seq("band", "key")))
+    bucketPairs(banded, Seq("band", "key"),
+      struct(col("id"), col("v")), maxBucket)
       // exact verify as a pure column expression (double-first folds, no
-      // UDF in the join output — and bit-matchable by an ANSI oracle)
-      .select(col("id1"), col("id2"),
-        round(Similarity.cosineCols(col("v1"), col("v2")), 4).as("cosine"))
+      // UDF — and bit-matchable by an ANSI oracle); cosine is symmetric,
+      // so only the ids need the least/greatest ordering
+      .select(least(col("l.id"), col("r.id")).as("id1"),
+        greatest(col("l.id"), col("r.id")).as("id2"),
+        round(Similarity.cosineCols(col("l.v"), col("r.v")), 4).as("cosine"))
+      .filter(col("id1") =!= col("id2")) // duplicate-id input guard
       .filter(col("cosine") >= minCosine)
       .groupBy("id1", "id2").agg(max("cosine").as("cosine"))
   }
