@@ -164,7 +164,8 @@ object GraftFunctions {
   private def fn(name: String, usage: String,
       builder: Seq[Expression] => Expression): Entry =
     (FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions", name, usage),
+      new ExpressionInfo("graft.functions.expressions", null, name, usage,
+        "", "", "", "", "", "", "built-in"),
       builder)
 
   val all: Seq[Entry] = Seq(
