@@ -429,14 +429,16 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     * idempotent) line too, so the log shows the recovery. */
   def stream(entity: String, events: DataFrame, checkpoint: String,
       queryName: String = "graft-cdc",
-      onStats: (Long, ApplyStats) => Unit = (_, _) => ())
+      onStats: (Long, ApplyStats) => Unit = (_, _) => (),
+      incremental: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
-        val stats = applyEvents(entity, batch, commitTag = s"$queryName:$batchId")
+        val stats = applyEvents(entity, batch,
+          commitTag = s"$queryName:$batchId", incremental = incremental)
         appendMetrics(entity, queryName, batchId, stats,
           (System.nanoTime() - t0) / 1000000)
         onStats(batchId, stats)
