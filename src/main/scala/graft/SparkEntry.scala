@@ -273,10 +273,11 @@ object SparkEntry {
       // published), then the probe filter lists only probe directories
       // (PartitionFilters — IO pruning, not just compute pruning).
       // The single-row query-vector lookup is inherent to ANN: the probe
-      // set must exist before planning to prune partitions.
+      // set must exist before planning to prune partitions. Probe radius
+      // 2 = 37/256 cells (~7× IO pruning) — the recall/IO knob.
       val q = queryVector(s, dir)
       Similarity.topKIndexed(s, ensureAnnIndex(s, dir), q, k = 20,
-        bits = AnnBits)
+        bits = AnnBits, probeRadius = 2)
     }),
     "ann_recall" -> ((s, dir) => {
       // driver-checkable recall (VERDICT r2 §3): the pruned path's top-k

@@ -88,15 +88,31 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
 
-  /** ANN top-k over an UNINDEXED frame: LSH bucket + Hamming-1 multi-probe
-    * candidates, exact cosine rerank. The signature is computed in the
-    * scan (native codegen expression, no UDF), so this PRUNES COMPUTE
-    * (cosine only for ~ (bits+1)/2^bits of rows) but still reads every
-    * vector — the IO-pruning path is [[indexVectors]] + [[topKIndexed]]. */
+  /** All signatures within Hamming distance `radius` of `qSig` — the
+    * multiprobe set. Size grows as sum of C(bits, i) for i ≤ radius:
+    * recall rises with radius, IO pruning falls; the recall/IO knob of
+    * every LSH probe (radius 1 at bits=8 reads 9/256 cells, radius 2
+    * reads 37/256 — still ~7× pruning). */
+  def probeSet(qSig: Long, bits: Int, radius: Int): Seq[Long] = {
+    var frontier = Set(qSig)
+    var all = Set(qSig)
+    (1 to radius).foreach { _ =>
+      frontier = frontier.flatMap(s =>
+        (0 until bits).map(b => s ^ (1L << b))) -- all
+      all ++= frontier
+    }
+    all.toSeq.sorted
+  }
+
+  /** ANN top-k over an UNINDEXED frame: LSH bucket + Hamming-`radius`
+    * multi-probe candidates, exact cosine rerank. The signature is
+    * computed in the scan (native codegen expression, no UDF), so this
+    * PRUNES COMPUTE but still reads every vector — the IO-pruning path
+    * is [[indexVectors]] + [[topKIndexed]]. */
   def topKLsh(df: DataFrame, idCol: String, vecCol: String,
-      query: Array[Float], k: Int, bits: Int = 10, seed: Long = 42L): DataFrame = {
-    val qSig = hyperplaneSig(query, bits, seed)
-    val probes = (qSig +: (0 until bits).map(b => qSig ^ (1L << b))).distinct
+      query: Array[Float], k: Int, bits: Int = 10, seed: Long = 42L,
+      probeRadius: Int = 1): DataFrame = {
+    val probes = probeSet(hyperplaneSig(query, bits, seed), bits, probeRadius)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig",
         graft.functions.expressions.hyperplaneSig(col("v"), bits, seed))
@@ -127,9 +143,9 @@ object Similarity {
     * `PartitionFilters` in the plan, zero bytes read outside the probes
     * (PlanSpec asserts this). Multi-probe: exact cell + Hamming-1. */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
-      query: Array[Float], k: Int, bits: Int = 10, seed: Long = 42L): DataFrame = {
-    val qSig = hyperplaneSig(query, bits, seed)
-    val probes = (qSig +: (0 until bits).map(b => qSig ^ (1L << b))).distinct
+      query: Array[Float], k: Int, bits: Int = 10, seed: Long = 42L,
+      probeRadius: Int = 1): DataFrame = {
+    val probes = probeSet(hyperplaneSig(query, bits, seed), bits, probeRadius)
     spark.read.parquet(path)
       .filter(col("sig").isin(probes: _*)) // partition pruning (IO prune)
       .select(col("id"), round(cosineToQuery(col("v"), query), 6).as("cosine"))
