@@ -68,7 +68,8 @@ class PlanSpec extends AnyFunSuite {
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("sig"), s"probe filter not pruning partitions:\n$p")
     // the pruned scan must not also re-read every partition: the partition
-    // count in the scan is bounded by the probe set (bits+1 = 11 cells)
+    // count in the scan is bounded by the probe set (37/256 cells at the
+    // harness's Hamming-2 radius)
     assert(!p.contains("PartitionFilters: []"), s"empty partition filter:\n$p")
   }
 
