@@ -201,15 +201,16 @@ object Bench {
     // harness timeout.
     val benchT0 = System.nanoTime()
     val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "540").toInt
-    // 2 rounds × 1 multi-batch sample (≈108 s low / 31 s high each):
+    // 3 rounds × 1 multi-batch sample (≈108 s low / 31 s high each):
     // within one session samples are FLAT (warm executors) while
     // cross-session windows pay a fresh-JVM tax even after a warm-up
-    // replay; two windows per level decorrelate multi-minute host-steal
-    // bursts, and the budget guard sheds samples when the box is slow.
-    // Every round additionally takes one single-batch reference sample
-    // per level (comparability with r1/r2 and the per-batch-overhead
-    // story) — best-of across rounds, like the main samples.
-    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
+    // replay; THREE windows per level decorrelate multi-minute host-steal
+    // bursts (rehearsals where both of 2 high windows caught a burst
+    // recorded 0.76 on an engine whose quiet band is 0.82-0.86), and the
+    // budget guard sheds whole rounds when the box is slow. Round 0
+    // additionally takes one single-batch reference sample per level
+    // (comparability with r1/r2 and the per-batch-overhead story).
+    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
     val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "1").toInt
     def withinBudget: Boolean =
       (System.nanoTime() - benchT0) / 1e9 < budgetSecs
@@ -238,10 +239,11 @@ object Bench {
           if (i == 0 || withinBudget)
             lows += replay(spark, nEvents, batches, 32)
         }
-        // single-batch reference in EVERY entered round (paired with the
-        // high side below): one sample per level per round is steal-
-        // fragile — a burst on the lone high sample once recorded 0.481
-        if (batches > 1) lows1 += replay(spark, nEvents1, 1, 32)
+        // single-batch reference in round 0 only — its budget goes to a
+        // third multi-batch window instead (the HEADLINE's robustness
+        // beats the reference number's)
+        if (round == 0 && batches > 1)
+          lows1 += replay(spark, nEvents1, 1, 32)
         spark.stop()
         spark = clusterSession(4)
         warmUp(spark)
@@ -249,7 +251,8 @@ object Bench {
           if (i == 0 || (withinBudget && highs.size < lows.size))
             highs += replay(spark, nEvents, batches, 32)
         }
-        if (batches > 1) highs1 += replay(spark, nEvents1, 1, 32)
+        if (round == 0 && batches > 1)
+          highs1 += replay(spark, nEvents1, 1, 32)
         spark.stop()
       }
     }
