@@ -147,6 +147,16 @@ class OpsSpec extends AnyFunSuite {
       scanned.collect().map(_.toString).toSeq)
   }
 
+  test("probeSet: Hamming-ball sizes and membership") {
+    val s0 = Similarity.probeSet(0L, 8, 0)
+    assert(s0 == Seq(0L))
+    val s1 = Similarity.probeSet(0L, 8, 1)
+    assert(s1.length == 9 && s1.contains(0L) && s1.contains(4L))
+    val s2 = Similarity.probeSet(0x2AL, 8, 2)
+    assert(s2.length == 1 + 8 + 28) // C(8,0)+C(8,1)+C(8,2)
+    assert(s2.forall(p => java.lang.Long.bitCount(p ^ 0x2AL) <= 2))
+  }
+
   test("IVF: nprobe = k probes every cell and reproduces brute-force top-k") {
     val q = embeddings.filter(col("vec_id") === 3)
       .head().getSeq[Float](1).toArray
