@@ -260,7 +260,23 @@ object Bench {
     val tHigh = highs.min
     val epsLow = nEvents / tLow
     val epsHigh = nEvents / tHigh
-    val efficiency = epsHigh / (4.0 * epsLow)
+    // Two estimators (BASELINE.md protocol):
+    //  - PAIRED-MEDIAN (the headline): within each round the low and high
+    //    samples run back-to-back, so a host-steal burst lands on BOTH
+    //    sides of that round's ratio; the median across rounds then
+    //    tolerates one fully-stolen round. The min-based mix can pair a
+    //    quiet low with a stolen high (or vice versa) and swing ±0.1 on a
+    //    quiet engine — measured, BENCH.md r3/r4.
+    //  - MIN-PAIR (recorded alongside, r1-r3 comparability): best low vs
+    //    best high across all rounds.
+    val pairedEffs = lows.zip(highs).map { case (l, h) => l / (4.0 * h) }
+    val sortedEffs = pairedEffs.sorted
+    val efficiency =
+      if (sortedEffs.isEmpty) tLow / (4.0 * tHigh)
+      else if (sortedEffs.size % 2 == 1) sortedEffs(sortedEffs.size / 2)
+      else (sortedEffs(sortedEffs.size / 2 - 1) +
+        sortedEffs(sortedEffs.size / 2)) / 2
+    val efficiencyMin = tLow / (4.0 * tHigh)
     val single =
       if (lows1.isEmpty || highs1.isEmpty) ""
       else {
@@ -308,7 +324,10 @@ object Bench {
       s""""samples_low":${lows.map(x => f"$x%.2f").mkString("[", ",", "]")},""" +
       s""""samples_high":${highs.map(x => f"$x%.2f").mkString("[", ",", "]")},""" +
       s""""eps_low":${f"$epsLow%.1f"},"eps_high":${f"$epsHigh%.1f"},""" +
-      s""""scaling_efficiency":${f"$efficiency%.3f"},"warm":${f"$warm%.2f"}}}"""
+      s""""paired_efficiencies":${pairedEffs.map(x => f"$x%.3f").mkString("[", ",", "]")},""" +
+      s""""scaling_efficiency":${f"$efficiency%.3f"},""" +
+      s""""scaling_efficiency_minpair":${f"$efficiencyMin%.3f"},""" +
+      s""""warm":${f"$warm%.2f"}}}"""
     // file copy for post-hoc inspection; stdout line is the driver artifact
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")

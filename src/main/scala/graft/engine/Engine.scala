@@ -46,6 +46,17 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
   // sqlDML.ts:257-296); Spark 4 defaults to ANSI (throwing) casts
   spark.conf.set("spark.sql.ansi.enabled", "false")
 
+  // FileOutputCommitter v2: task-side renames instead of a driver-side
+  // serial rename pass at job commit. A micro-batch writes O(tables ×
+  // buckets) files; on a real DFS the v1 driver rename pass is seconds of
+  // SERIAL per-batch cost that scales with file count, not cluster size —
+  // exactly what depresses N→4N scaling. (Local-FS effect ≈ 0 — measured
+  // neutral, BENCH.md r4 — but the at-scale default is v2; crash-safety
+  // holds because the snapshot log registers files only after job
+  // success, and vacuum GCs orphans.)
+  spark.sparkContext.hadoopConfiguration
+    .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
+
   // ---------- schema registry (persisted widened tree per entity) ----------
 
   private def registryDir(entity: String) =
@@ -135,7 +146,7 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     * out-of-orderness bound); `vacuumGraceMs` guards in-flight writers. */
   def maintain(entity: String, tag: String = "maintain",
       expireTombstonesBelow: Option[Long] = None,
-      vacuumGraceMs: Long = 600000L): Unit =
+      vacuumGraceMs: Long = 600000L): Unit = {
     loadRegistry(entity).foreach { tree =>
       Catalog.fromTree(tree).foreach { t =>
         val lake = table(t)
@@ -145,6 +156,12 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
         }
       }
     }
+    // GC shared multi-table commit dirs no table references any more
+    // (compaction rewrites buckets into per-table base segments, after
+    // which a whole batch's shared dir usually drops out of every live set)
+    LakeTable.vacuumShared(spark, lakeRoot, vacuumGraceMs)
+    ()
+  }
 
   /** Grow every table of an entity to `newBuckets` hash buckets (see
     * [[LakeTable.rebucket]]) — run from a maintenance window as data
@@ -280,7 +297,17 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
           val lake = table(rootT)
           if (lake.exists() && lake.snapshot().segments.nonEmpty &&
             lake.snapshot().schema.fieldNames.contains("REV")) {
-            val existing = lake.read().select(
+            // BUCKET-PRUNED revision scan: the batch can only match (ID,
+            // REV) rows in the buckets its own keys hash to — compute that
+            // set from the (persisted, deduped) batch and read only those
+            // buckets' segments. A full lake.read() here is O(table) per
+            // micro-batch — at 10^10 rows the classic incremental-ingest
+            // scale-killer (VERDICT r3); this is O(batch) + O(touched
+            // buckets). The collect is ≤ numBuckets ints.
+            val touched = deduped
+              .select(lake.bucketExpr(col("_docid")).as("_b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            val existing = lake.readBuckets(touched).select(
               col("ID").as("_docid"), col("REV").as("_docrev"),
               lit(true).as("_gskip"))
             deduped = deduped
@@ -356,18 +383,7 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     }
     val rootElem = registry.attributes(registry.name)
 
-    // per-table merges run CONCURRENTLY (independent lake tables, like
-    // the reference's per-table DDL fan-out, sqlDDL.ts:453-480) — Spark
-    // schedules the jobs from separate threads and fills idle cores;
-    // exactly-once holds per table via the shared commit tag
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    // the applied-delete count comes from the ROOT table's merge lineage
-    // (its Observation already counted tombstones) — not a count() job
-    var nDel = 0L
-    val parallelMerge = sys.env.getOrElse("GRAFT_PAR_MERGE", "1") != "0"
-    def mergeOne(t: TableSpec): Unit = {
+    def frameOf(t: TableSpec): DataFrame = {
       // within-doc duplicate keys need a dedup window ONLY for ID-keyed
       // tables under an array (two elements may share an id —
       // reference's serial MERGE makes the last win, sqlDML.ts:519-545);
@@ -376,26 +392,60 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
         t.path.exists(_.isArray)
       val raw = Flattener.tableFrame(parsed, rootElem, tables, t,
         col("_gdoc"), extraCols = Seq("_seq"), withOrd = needsKeyDedup)
-      val frame =
-        if (!needsKeyDedup) raw
-        else raw
-          .withColumn("_krn", row_number().over(Window
-            .partitionBy(t.keyColumns.map(col): _*)
-            .orderBy(col("_seq").desc, col("_gord").desc)))
-          .filter(col("_krn") === 1)
-          .drop("_krn", "_gord")
-      val snap = table(t).merge(frame, t.keyColumns, rootKeyOf(t),
-        commitTag, deleteRootKeys = allDeletes,
-        rowSeqCol = if (monotoneSeq) Some("_seq") else None)
-      if (t.isRoot)
-        nDel = snap.lineage.lastOption.filter(_.tag == commitTag)
-          .map(_.deleted).getOrElse(0L)
-      ()
+      if (!needsKeyDedup) raw
+      else raw
+        .withColumn("_krn", row_number().over(Window
+          .partitionBy(t.keyColumns.map(col): _*)
+          .orderBy(col("_seq").desc, col("_gord").desc)))
+        .filter(col("_krn") === 1)
+        .drop("_krn", "_gord")
     }
-    if (parallelMerge)
-      Await.result(Future.sequence(tables.map(t => Future(mergeOne(t)))),
-        Duration.Inf)
-    else tables.foreach(mergeOne)
+    val rowSeq = if (monotoneSeq) Some("_seq") else None
+    // the applied-delete count comes from the ROOT table's merge lineage
+    // (its Observation already counted tombstones) — not a count() job
+    var nDel = 0L
+    val rootName = tables.find(_.isRoot).map(_.fullName)
+    def readDel(snap: graft.lake.Snapshot): Long =
+      snap.lineage.lastOption.filter(_.tag == commitTag)
+        .map(_.deleted).getOrElse(0L)
+
+    // Two commit strategies, A/B-measured (BENCH.md r4, steal-controlled
+    // interleaved probe): per-table CONCURRENT merge jobs (default) vs all
+    // tables' deltas in ONE union write job (LakeTable.mergeAll,
+    // `GRAFT_UNION_MERGE=1`). At this table count (7) they are parity at
+    // N and per-table is ~2-4 s/replay faster at 4N (the union's single
+    // exchange serializes behind a stage barrier the concurrent jobs
+    // pipeline through); the union path wins when table count ≫ executor
+    // slots or the driver's job-commit path is the bottleneck (many-table
+    // entities, DFS committers) — kept as a first-class option.
+    val unionMerge = sys.props.getOrElse("graft.union.merge",
+      sys.env.getOrElse("GRAFT_UNION_MERGE", "0")) != "0"
+    if (unionMerge) {
+      val merges = tables.map(t => graft.lake.LakeTable.TableMerge(
+        table(t), frameOf(t), t.keyColumns, rootKeyOf(t),
+        deleteRootKeys = allDeletes, rowSeqCol = rowSeq))
+      val snaps = graft.lake.LakeTable.mergeAll(lakeRoot, merges, commitTag)
+      nDel = rootName.flatMap(snaps.get).map(readDel).getOrElse(0L)
+    } else {
+      // per-table merges run CONCURRENTLY (independent lake tables, like
+      // the reference's per-table DDL fan-out, sqlDDL.ts:453-480) — Spark
+      // schedules the jobs from separate threads and fills idle cores;
+      // exactly-once holds per table via the shared commit tag
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def mergeOne(t: TableSpec): Unit = {
+        val snap = table(t).merge(frameOf(t), t.keyColumns, rootKeyOf(t),
+          commitTag, deleteRootKeys = allDeletes, rowSeqCol = rowSeq)
+        if (t.isRoot) nDel = readDel(snap)
+        ()
+      }
+      val parallelMerge = sys.env.getOrElse("GRAFT_PAR_MERGE", "1") != "0"
+      if (parallelMerge)
+        Await.result(Future.sequence(tables.map(t => Future(mergeOne(t)))),
+          Duration.Inf)
+      else tables.foreach(mergeOne)
+    }
     (tables.size, nDel)
   }
 

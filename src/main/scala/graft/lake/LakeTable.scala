@@ -17,9 +17,14 @@ import graft.schema.{JArr, JNum, JObj, JStr, JValue, Json}
   *             upsert batch — merge-on-read)
   * @param seq  commit sequence the segment was written at (row visibility
   *             order for merge-on-read resolution)
+  * @param sub  non-empty for segments written by a MULTI-TABLE commit
+  *             ([[LakeTable.mergeAll]]): the top-level struct field the
+  *             table's rows live under (the union write nests each table's
+  *             payload in its own struct so per-table schemas never
+  *             collide); "" = plain top-level layout
   */
 final case class Segment(path: String, bucket: Int, schemaVer: Int,
-    kind: String, seq: Long)
+    kind: String, seq: Long, sub: String = "")
 
 /** Per-commit lineage record (the rebuild's answer to the reference's
   * TMPDIR db script audit files, sqlDDL.ts:107-116). */
@@ -165,7 +170,8 @@ final class LakeTable(val spark: SparkSession, val root: String,
           seg.get("bucket").collect { case JNum(n) => n.toInt }.get,
           seg.get("schemaVer").collect { case JNum(n) => n.toInt }.get,
           seg.get("kind").collect { case JStr(s) => s }.getOrElse("base"),
-          seg.get("seq").collect { case JNum(n) => n.toLong }.getOrElse(0L))
+          seg.get("seq").collect { case JNum(n) => n.toLong }.getOrElse(0L),
+          seg.get("sub").collect { case JStr(s) => s }.getOrElse(""))
       case _ => throw new IllegalStateException("bad segment")
     }
     val commits = arr("commits").collect { case JStr(s) => s }
@@ -202,7 +208,8 @@ final class LakeTable(val spark: SparkSession, val root: String,
         "path" -> JStr(seg.path), "bucket" -> JNum(seg.bucket.toString),
         "schemaVer" -> JNum(seg.schemaVer.toString),
         "kind" -> JStr(seg.kind),
-        "seq" -> JNum(seg.seq.toString))): JValue).toVector),
+        "seq" -> JNum(seg.seq.toString),
+        "sub" -> JStr(seg.sub))): JValue).toVector),
       "commits" -> JArr(s.commits.map(JStr(_): JValue).toVector),
       "lineage" -> JArr(s.lineage.map(l => JObj(Vector(
         "tag" -> JStr(l.tag),
@@ -277,14 +284,25 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val target = withMeta(s.schema)
     if (live.isEmpty) emptyDf(target)
     else {
-      // group by schema version: each group reads with its written schema,
-      // then aligns to the current one (additive evolution ⇒ cast-safe)
-      val parts = live.groupBy(_.schemaVer).toSeq.sortBy(_._1).map {
-        case (ver, segs) =>
-          val df = spark.read.schema(withMeta(s.schemas(ver)))
-            .parquet(segs.map(seg => dir.resolve(seg.path).toString): _*)
+      // group by (schema version, nesting): each group reads with its
+      // written schema, then aligns to the current one (additive evolution
+      // ⇒ cast-safe). Multi-table-commit segments (sub nonEmpty) carry the
+      // table's rows under one struct field — request ONLY that struct
+      // (nested-schema pruning: other tables' null structs are never read)
+      // and unwrap it.
+      val parts = live.groupBy(seg => (seg.schemaVer, seg.sub)).toSeq
+        .sortBy(_._1).map { case ((ver, sub), segs) =>
+          val written = withMeta(s.schemas(ver))
+          val paths = segs.map(seg => dir.resolve(seg.path).toString)
+          val df =
+            if (sub.isEmpty) spark.read.schema(written).parquet(paths: _*)
+            else spark.read
+              .schema(StructType(Seq(
+                org.apache.spark.sql.types.StructField(sub, written))))
+              .parquet(paths: _*)
+              .select(col(s"$sub.*"))
           align(df, target)
-      }
+        }
       parts.reduce(_ unionByName _)
     }
   }
@@ -327,12 +345,17 @@ final class LakeTable(val spark: SparkSession, val root: String,
       if (dirtySegs.isEmpty) None
       else Some(resolveRows(readRaw(s, dirtySegs.contains), s.keyCols,
         s.rootKey).drop(SeqCol))
-    (cleanDf, dirtyDf) match {
+    val combined = (cleanDf, dirtyDf) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None)    => a
       case (None, Some(b))    => b
       case (None, None)       => emptyDf(s.schema)
     }
+    // normalize column ORDER to the schema: the dirty path's tombstone
+    // join (USING rootKey) moves the root-key column to the front, so a
+    // child table (rootKey = FK, not first) would read FK-first —
+    // positional consumers and the clean/dirty union need schema order
+    combined.select(s.schema.fieldNames.toSeq.map(col): _*)
   }
 
   // ---------- merge (the reference's MERGE INTO, set-oriented MoR) ----------
@@ -387,7 +410,47 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val t0 = System.nanoTime()
     val s = snapshot()
     if (s.hasCommit(commitTag)) return s // idempotent re-commit
+    val up = prepareDelta(s, updates, rootKeyCol, deleteRootKeys, rowSeqCol)
+    val nb = bucketsOf(s)
+    val ver = s.version + 1
 
+    // ONE scan, ONE write: every row (upserts + tombstones, all buckets)
+    // appends as delta; touched buckets and counts ride on an Observation
+    // of the same query — no separate pre-scan job, nothing persisted
+    val obs = org.apache.spark.sql.Observation()
+    val rel = f"data/c$ver%05dd"
+    // deltas are NOT sorted: they live ≤ maxDeltas merges before
+    // compaction rewrites them, and the merge-on-read resolution shuffles
+    // on the key anyway — only base segments (long-lived, read-heavy)
+    // pay for key-clustered layout
+    up.observe(obs, count(when(!col(DelCol), 1)).as("nup"),
+        count(when(col(DelCol), 1)).as("ndel"))
+      .repartition(nb, col(BucketCol))
+      .write.partitionBy(BucketCol).mode("overwrite")
+      .parquet(dir.resolve(rel).toString)
+    // AQE empty-propagation can eliminate the CollectMetrics node when the
+    // batch is provably empty (the observation then reports no metrics) —
+    // touched buckets come from the written bucket dirs (ground truth
+    // either way), counts default to 0 for that empty case
+    val m = obs.get
+    val upserted = m.get("nup").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val deleted = m.get("ndel").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val deltaSegs = listBucketDirs(dir.resolve(rel)).map { case (b, p) =>
+      Segment(dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
+        "delta", ver.toLong)
+    }
+    commitDelta(s, commitTag, keyCols, rootKeyCol, deltaSegs,
+      upserted, deleted, t0, if (rowSeqCol.isDefined) "lsn" else "commit")
+  }
+
+  /** Build the meta-carrying delta frame of one merge (aligned upserts ∪
+    * tombstones, with visibility seq, tombstone marker and bucket column) —
+    * the write-side half of [[merge]], shared with [[LakeTable.mergeAll]]
+    * which unions several tables' frames into one write job. Validates the
+    * seq-domain contract; does NOT touch the snapshot log. */
+  private[lake] def prepareDelta(s: Snapshot, updates: DataFrame,
+      rootKeyCol: String, deleteRootKeys: Option[DataFrame],
+      rowSeqCol: Option[String]): DataFrame = {
     val domain = if (rowSeqCol.isDefined) "lsn" else "commit"
     require(s.seqDomain.isEmpty || s.seqDomain == domain,
       s"table $name uses seq domain '${s.seqDomain}' but this merge is " +
@@ -399,8 +462,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
     require(rowSeqCol.forall(updates.columns.contains),
       s"table $name: rowSeqCol ${rowSeqCol.get} is not a column of the " +
         s"updates frame ${updates.columns.mkString("(", ",", ")")}")
-    val target = s.schema
-    val metaTarget = withMeta(target)
+    val metaTarget = withMeta(s.schema)
     val newSeq = s.version + 1L
     val seqOf: DataFrame => org.apache.spark.sql.Column = df =>
       rowSeqCol.filter(df.columns.contains)
@@ -425,44 +487,23 @@ final class LakeTable(val spark: SparkSession, val root: String,
         .withColumn(SeqCol, seqExpr)
         .withColumn(DelCol, lit(true)), metaTarget)
     }
-    val nb = bucketsOf(s)
-    val up = tombRows.fold(upRows)(upRows.unionByName(_))
-      .withColumn(BucketCol, bucketExpr(col(rootKeyCol), nb))
+    tombRows.fold(upRows)(upRows.unionByName(_))
+      .withColumn(BucketCol, bucketExpr(col(rootKeyCol), bucketsOf(s)))
+  }
 
+  /** Commit already-written delta segments: inline-compact at-cap buckets,
+    * then publish the next snapshot — the commit-side half of [[merge]].
+    * `deltaSegs` must be registered leaf dirs of THIS table (any layout —
+    * own-dir or a [[LakeTable.mergeAll]] shared commit via `sub`). */
+  private[lake] def commitDelta(s: Snapshot, commitTag: String,
+      keyCols: Seq[String], rootKeyCol: String, deltaSegs: Seq[Segment],
+      upserted: Long, deleted: Long, t0: Long, domain: String): Snapshot = {
     // buckets already at the delta cap go straight to compaction (known
     // from the snapshot alone — no pre-scan of the batch needed)
     val atCap: Set[Int] = s.segments
       .filter(_.kind == "delta").groupBy(_.bucket)
       .collect { case (b, xs) if xs.size >= maxDeltas - 1 => b }.toSet
-
     val ver = s.version + 1
-
-    // ONE scan, ONE write: every row (upserts + tombstones, all buckets)
-    // appends as delta; touched buckets and counts ride on an Observation
-    // of the same query — no separate pre-scan job, nothing persisted
-    val obs = org.apache.spark.sql.Observation()
-    val rel = f"data/c$ver%05dd"
-    // deltas are NOT sorted: they live ≤ maxDeltas merges before
-    // compaction rewrites them, and the merge-on-read resolution shuffles
-    // on the key anyway — only base segments (long-lived, read-heavy)
-    // pay for key-clustered layout
-    up.observe(obs, collect_set(col(BucketCol)).as("buckets"),
-        count(when(!col(DelCol), 1)).as("nup"),
-        count(when(col(DelCol), 1)).as("ndel"))
-      .repartition(nb, col(BucketCol))
-      .write.partitionBy(BucketCol).mode("overwrite")
-      .parquet(dir.resolve(rel).toString)
-    // AQE empty-propagation can eliminate the CollectMetrics node when the
-    // batch is provably empty (the observation then reports no metrics) —
-    // touched buckets come from the written bucket dirs (ground truth
-    // either way), counts default to 0 for that empty case
-    val m = obs.get
-    val upserted = m.get("nup").map(_.asInstanceOf[Long]).getOrElse(0L)
-    val deleted = m.get("ndel").map(_.asInstanceOf[Long]).getOrElse(0L)
-    val deltaSegs = listBucketDirs(dir.resolve(rel)).map { case (b, p) =>
-      Segment(dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
-        "delta", newSeq)
-    }
     val touched: Set[Int] = deltaSegs.map(_.bucket).toSet
     if (touched.isEmpty && atCap.isEmpty) return commitEmpty(s, commitTag, t0)
 
@@ -652,4 +693,152 @@ final class LakeTable(val spark: SparkSession, val root: String,
         val b = p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
         b -> p.toString
       }
+}
+
+object LakeTable {
+
+  /** One table's share of a multi-table commit (see [[mergeAll]]). */
+  final case class TableMerge(
+      table: LakeTable,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      rootKey: String,
+      deleteRootKeys: Option[DataFrame] = None,
+      rowSeqCol: Option[String] = None)
+
+  /** The multi-table partition column of a shared commit dir. */
+  private val TableCol = "_gtable"
+
+  /** Dir (under the lake root) holding multi-table commit data; cleaned by
+    * the engine-level shared vacuum (per-table vacuum never touches it). */
+  val SharedCommitsDir = "_commits"
+
+  private def sanitizeTag(tag: String): String =
+    tag.map(c => if (c.isLetterOrDigit || c == '-' || c == '_') c else '_')
+      .take(48)
+
+  /** MERGE several tables of one document family in ONE Spark job.
+    *
+    * A micro-batch that upserts k tables as k independent merge jobs pays
+    * k× the fixed per-job cost (planning, scheduling rounds, Observation
+    * listener latency, write-committer round) — measured ~4-6 s/batch for
+    * 7 tables on a 2-core executor, the dominant fixed cost of small-N
+    * replay (BENCH.md r3). This path unions every table's prepared delta
+    * frame — each table's payload nested under its own struct column, so
+    * per-table schemas can never collide — and writes once, partitioned by
+    * `(_gtable, _gbucket)`, with ONE Observation carrying all tables'
+    * upsert/delete counts. Segments are then registered per table (each
+    * with `sub` = its struct field; reads prune to exactly that struct),
+    * and each table's snapshot commits with identical semantics to
+    * [[LakeTable.merge]] — same lineage, same exactly-once tags, same
+    * inline compaction of at-cap buckets.
+    *
+    * Recovery: tables that already carry `commitTag` are skipped entirely
+    * (a crashed multi-commit re-runs only the unfinished tables); orphaned
+    * shared-commit leaf dirs are GC'd by the engine's shared vacuum once
+    * no table references into them. */
+  def mergeAll(lakeRoot: String, merges: Seq[TableMerge],
+      commitTag: String): Map[String, Snapshot] = {
+    require(merges.nonEmpty, "mergeAll needs at least one table")
+    require(merges.map(_.table.name).distinct.size == merges.size,
+      "mergeAll: duplicate table in one commit")
+    val t0 = System.nanoTime()
+    val snaps = merges.map(m => (m, m.table.snapshot()))
+    val (done, todo) = snaps.partition(_._2.hasCommit(commitTag))
+    val doneMap = done.map { case (m, s) => m.table.name -> s }.toMap
+    if (todo.isEmpty) return doneMap
+
+    val pending = todo.map { case (m, s) =>
+      (m, s, m.table.prepareDelta(s, m.updates, m.rootKey,
+        m.deleteRootKeys, m.rowSeqCol))
+    }
+    val bucketColName = merges.head.table.BucketCol
+    val delColName = merges.head.table.DelCol
+    def subOf(t: LakeTable) = s"_p_${t.name}"
+
+    // nest each table's (meta-carrying) payload under its own struct and
+    // tag the rows; unionByName fills the other tables' structs with null
+    // (parquet stores those as definition levels only)
+    val wrapped = pending.map { case (m, _, f) =>
+      val payloadCols = f.columns.filterNot(_ == bucketColName)
+      f.select(lit(m.table.name).as(TableCol), col(bucketColName),
+        struct(payloadCols.map(col).toSeq: _*).as(subOf(m.table)))
+    }
+    val union = wrapped.reduce(_.unionByName(_, allowMissingColumns = true))
+
+    // ONE Observation for the whole commit: per-table upsert/delete counts
+    // as conditional aggregates (each table's DelCol is non-null exactly
+    // on its own rows)
+    val obs = org.apache.spark.sql.Observation()
+    val aggs: Seq[Column] = pending.flatMap { case (m, _, _) =>
+      val del = col(subOf(m.table))(delColName)
+      Seq(count(when(del === false, 1)).as(s"nup_${m.table.name}"),
+        count(when(del === true, 1)).as(s"ndel_${m.table.name}"))
+    }
+    val outDir = Paths.get(lakeRoot, SharedCommitsDir,
+      sanitizeTag(commitTag) + "-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    val parts = pending.map { case (m, s, _) => m.table.bucketsOf(s) }.max
+    union.observe(obs, aggs.head, aggs.tail: _*)
+      .repartition(parts, col(TableCol), col(bucketColName))
+      .write.partitionBy(TableCol, bucketColName).mode("overwrite")
+      .parquet(outDir.toString)
+    val metrics = obs.get
+
+    // register segments + commit snapshots per table (cheap: JSON writes;
+    // a second Spark job runs only for a table with at-cap buckets)
+    val committed = pending.map { case (m, s, _) =>
+      val t = m.table
+      val tDir = outDir.resolve(s"$TableCol=${t.name}")
+      val deltaSegs = t.listBucketDirs(tDir).map { case (b, p) =>
+        Segment(t.dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
+          "delta", s.version + 1L, subOf(t))
+      }
+      val up = metrics.get(s"nup_${t.name}")
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val del = metrics.get(s"ndel_${t.name}")
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      t.name -> t.commitDelta(s, commitTag, m.keyCols, m.rootKey, deltaSegs,
+        up, del, t0, if (m.rowSeqCol.isDefined) "lsn" else "commit")
+    }.toMap
+    doneMap ++ committed
+  }
+
+  /** GC shared multi-table commit dirs (see [[mergeAll]]): delete
+    * `<lakeRoot>/_commits/<id>` dirs referenced by NO table's current
+    * snapshot and older than `graceMs` (same in-flight-writer guard as
+    * per-table vacuum). Live references are collected from every lake
+    * table under the root. Returns dirs removed. */
+  def vacuumShared(spark: SparkSession, lakeRoot: String,
+      graceMs: Long = 600000L): Int = {
+    val root = Paths.get(lakeRoot)
+    val commits = root.resolve(SharedCommitsDir)
+    if (!Files.isDirectory(commits)) return 0
+    val tables = {
+      val s = Files.list(root)
+      try s.iterator().asScala.toList finally s.close()
+    }.filter(p => Files.isDirectory(p.resolve("_snap")) &&
+      !p.getFileName.toString.startsWith("_"))
+    val live: Set[Path] = tables.flatMap { p =>
+      val t = new LakeTable(spark, lakeRoot, p.getFileName.toString)
+      t.snapshotOpt().toSeq.flatMap(_.segments)
+        .map(seg => p.resolve(seg.path).normalize())
+    }.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var removed = 0
+    val cs = Files.list(commits)
+    val children = try cs.iterator().asScala.toList finally cs.close()
+    children.foreach { c =>
+      val cn = c.normalize()
+      if (Files.isDirectory(c) && !live.exists(_.startsWith(cn)) &&
+        Files.getLastModifiedTime(c).toMillis < cutoff) {
+        val w = Files.walk(c)
+        try w.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally w.close()
+        removed += 1
+      }
+    }
+    removed
+  }
 }

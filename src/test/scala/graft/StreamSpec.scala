@@ -84,4 +84,77 @@ class StreamSpec extends AnyFunSuite {
       s"metrics events sum $total outside [$cleanApplied, 600]")
     assert(metrics.toArray.forall(_.toString.contains("\"tables\":")))
   }
+
+  test("rebucket MID-STREAM: growth re-layout between micro-batches; old-layout reader stays consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+
+    val lakeRoot = SparkTestSession.tmpDir("graft-rebucket-lake-")
+    val ckpt = SparkTestSession.tmpDir("graft-rebucket-ckpt-")
+    val srcDir = SparkTestSession.tmpDir("graft-rebucket-src-")
+    val engine = new Engine(spark, lakeRoot, numBuckets = 4)
+    val p = EventGen.Params(nEvents = 400, nRepos = 8, pathsPerRepo = 6)
+    val all = EventGen.events(spark, p, partitions = 2).toDF().cache()
+
+    def dump(lo: Long, hi: Long, name: String): Unit =
+      all.filter($"lsn" >= lo && $"lsn" < hi)
+        .coalesce(1).write.json(s"$srcDir/$name")
+    def startStream() = engine.stream("repos",
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$srcDir/*/"), ckpt, queryName = "cdc-rebucket")
+
+    dump(0, 200, "f1")
+    val q1 = startStream(); q1.processAllAvailable(); q1.stop()
+
+    val rootSpec = Catalog.fromTree(engine.loadRegistry("repos").get)
+      .find(_.isRoot).get
+    val lake = engine.table(rootSpec)
+    assert(lake.snapshot().numBuckets == 4)
+    // an OLD-LAYOUT reader planned before the re-layout (lazy plan pinned
+    // to the pre-rebucket snapshot's segment files)
+    val oldReader = lake.read().select("ID", "REV").orderBy("ID")
+    val oldState = oldReader.collect().map(_.toString).toSeq
+
+    // maintenance-window growth: 4 → 16 buckets, every table together
+    engine.rebucket("repos", 16)
+    // the in-flight old-layout reader still resolves (rebucket swaps the
+    // snapshot atomically; superseded files live until vacuum's grace)
+    assert(oldReader.collect().map(_.toString).toSeq == oldState)
+
+    // stream continues from the SAME checkpoint; subsequent merges must
+    // hash with the new modulus
+    dump(200, 400, "f2")
+    val q2 = startStream(); q2.processAllAvailable(); q2.stop()
+
+    val snap = lake.snapshot()
+    assert(snap.numBuckets == 16)
+    val deltas = snap.segments.filter(_.kind == "delta")
+    assert(deltas.nonEmpty, "post-rebucket batches should append deltas")
+    // post-rebucket deltas hash with the NEW modulus: bucket ids beyond
+    // the old range [0,4) appear (with ~120 keys, buckets 4-15 are hit
+    // w.p. 1 - 2^-60), and live keys' new-modulus hashes cover the deltas
+    val bucketIds = deltas.map(_.bucket).toSet
+    assert(bucketIds.forall(b => b >= 0 && b < 16))
+    assert(bucketIds.exists(_ >= 4),
+      s"deltas $bucketIds all in the OLD modulus range — merge did not " +
+        "pick up the re-layout")
+    val keyBuckets = lake.read()
+      .select(pmod(xxhash64(col("ID")), lit(16)).cast("int")).collect()
+      .map(_.getInt(0)).toSet
+    // tombstone-only buckets (deleted keys) may not appear in keyBuckets
+    assert((bucketIds -- keyBuckets).size <= bucketIds.size / 2)
+
+    // final state equals a clean replay (re-layout lost nothing)
+    val cleanRoot = SparkTestSession.tmpDir("graft-rebucket-clean-")
+    val cleanEngine = new Engine(spark, cleanRoot, numBuckets = 16)
+    cleanEngine.applyEvents("repos", all, "clean:0")
+    val cleanSpec = Catalog.fromTree(cleanEngine.loadRegistry("repos").get)
+      .find(_.isRoot).get
+    def state(e: Engine, s: graft.catalog.TableSpec) =
+      e.table(s).read().select("ID", "REV", "CONTENT").orderBy("ID")
+        .collect().map(_.toString).toSeq
+    assert(state(engine, rootSpec) == state(cleanEngine, cleanSpec))
+    assert(state(engine, rootSpec).nonEmpty)
+  }
 }
