@@ -111,6 +111,53 @@ final case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** `collect_list` with a HARD per-group element bound — the hot-bucket
+  * guard of every LSH family ([[graft.ops.Dedup]] bucketPairs). Plain
+  * `collect_list` + a post-hoc `size <= cap` filter still materializes a
+  * monster bucket (the 10M-file license-header case) as ONE in-memory
+  * array before dropping it; this aggregate stops appending at `limit`
+  * elements, so buffer memory is O(limit × payload) per group at every
+  * stage — including map-side partial aggregation — and a monster
+  * bucket's surplus rows cost one branch each, never memory.
+  *
+  * Implementation: a DeclarativeAggregate over pure catalyst expressions
+  * (`if (size(buf) < limit) concat(buf, array(child)) else buf`), so it
+  * rides the same codegen'd hash-aggregate machinery as the built-ins.
+  * Append cost is O(size) per kept element (array copy) — O(limit²) once
+  * per full group, which at limit ≈ 10³ is noise next to the shuffle.
+  * Element ORDER is arrival order (like collect_list, non-deterministic
+  * across retries) and which elements survive an over-limit group is
+  * equally arrival-dependent — callers must drop over-limit groups
+  * (detected via a parallel `count`) rather than interpret their content. */
+final case class CollectUpTo(child: Expression, limit: Int)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[
+      org.apache.spark.sql.catalyst.expressions.Expression] {
+  import org.apache.spark.sql.catalyst.expressions._
+  require(limit > 0, "collect_up_to: limit must be positive")
+
+  override def prettyName: String = "collect_up_to"
+  override def dataType: DataType = ArrayType(child.dataType, child.nullable)
+  override def nullable: Boolean = false
+
+  private lazy val buf = AttributeReference("buf", dataType, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(buf)
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal.create(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]),
+      dataType))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(child), buf, // collect_list semantics: nulls are skipped
+      If(LessThan(Size(buf, legacySizeOfNull = false), Literal(limit)),
+        Concat(Seq(buf, CreateArray(Seq(child)))), buf)))
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    Slice(Concat(Seq(buf.left, buf.right)), Literal(1), Literal(limit)))
+  override lazy val evaluateExpression: Expression = buf
+
+  override protected def withNewChildInternal(newChild: Expression): CollectUpTo =
+    copy(child = newChild)
+}
+
 object expressions {
   import org.apache.spark.sql.GraftBridge
   def simhash64(c: Column): Column =
@@ -123,6 +170,9 @@ object expressions {
     GraftBridge.column(WordMinHashSig(GraftBridge.expression(c), n, numHashes))
   def hyperplaneSig(c: Column, bits: Int, seed: Long): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(c), bits, seed))
+  def collectUpTo(c: Column, limit: Int): Column =
+    GraftBridge.column(CollectUpTo(GraftBridge.expression(c), limit)
+      .toAggregateExpression())
 
   /** SQL registration on an EXISTING session:
     * `SELECT simhash64(text), minhash_sig(text, 5, 64), ...`.

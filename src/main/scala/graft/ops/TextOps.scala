@@ -74,6 +74,37 @@ object TextOps {
 
   val langIdUdf = udf(langIdOf _)
 
+  /** Language-ID as a PURE COLUMN EXPRESSION — identical semantics to
+    * [[langIdOf]] (non-overlapping marker counts via replace-and-measure,
+    * first-max tie-break in profile order), but the kernel stays inside
+    * whole-stage codegen instead of paying per-row UDF dispatch (VERDICT
+    * r3 #4: the DuckDB oracle was the constructive proof a column form
+    * exists; this is that form ported back). OpsSpec property-checks
+    * column ≡ function on generated texts. */
+  def langIdCol(text: Column): Column = {
+    val s = concat(lit(" "), lower(text), lit(" "))
+    val total = length(s)
+    def markerCount(marker: String): Column =
+      ((total - length(regexp_replace(s,
+        java.util.regex.Pattern.quote(marker), ""))) /
+        lit(marker.length)).cast("int")
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(markerCount).reduce(_ + _)
+    }
+    val byLang = scores.toMap
+    val allZero = greatest(scores.map(_._2): _*) === 0
+    // first-max in profile order: lang_i wins iff score_i >= every LATER
+    // score (earlier langs already failed their own >= chain)
+    val langs = scores.map(_._1)
+    val best = langs.zipWithIndex.init.foldRight(lit(langs.last)) {
+      case ((lang, i), elseExpr) =>
+        val laterMax = greatest(
+          (langs.drop(i + 1).map(byLang) :+ lit(0).cast("int")): _*)
+        when(byLang(lang) >= laterMax, lang).otherwise(elseExpr)
+    }
+    when(allZero, "und").otherwise(best)
+  }
+
   /** Rolling-hash document fingerprint: Karp-Rabin over character k-grams,
     * winnowed to the minimum hash in each window — robust to small edits,
     * equal fingerprints ⇒ likely near-identical prefixes of content. */

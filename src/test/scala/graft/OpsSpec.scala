@@ -212,6 +212,43 @@ class OpsSpec extends AnyFunSuite {
     assert(f.forall(r => r.getAs[Double]("punct_ratio") >= 0.0))
   }
 
+  test("lang-id COLUMN form ≡ Scala function on corpus + adversarial texts") {
+    import spark.implicits._
+    val adversarial = Seq(
+      "the cat and the dog is on the mat", "der hund und die katze ist da",
+      "xyzzy", "", " ", "la la la", "el y la", "le et la les est",
+      "的是了在我", "the der le el 的", "and und et y 是",
+      "THE AND OF TO IS", "  the  ", "a the b und c le d el e 的 f")
+    val texts = documents.limit(200).select(col("text").as("t"))
+      .unionByName(adversarial.toDF("t"))
+    val both = texts.select(col("t"), TextOps.langIdCol(col("t")).as("c"),
+      TextOps.langIdUdf(col("t")).as("u")).collect()
+    both.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"column='${r.getString(1)}' fn='${r.getString(2)}' for: ${r.getString(0).take(60)}"))
+  }
+
+  test("collect_up_to: hard per-group bound, order-agnostic content, null skip") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 9))
+      .toDF("k", "v")
+    val got = df.groupBy("k")
+      .agg(graft.functions.expressions.collectUpTo(col("v"), 3).as("g"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Int](1).toSet, r.getSeq[Int](1).size, r.getLong(2))).toMap
+    assert(got("a")._2 == 3) // bounded at limit, group size 4
+    assert(got("a")._1.subsetOf(Set(1, 2, 3, 4)))
+    assert(got("a")._3 == 4) // the parallel count carries the true size
+    assert(got("b") == (Set(9), 1, 1L))
+    // nulls skipped like collect_list
+    val withNulls = Seq(("a", Some(1)), ("a", None), ("a", Some(2)))
+      .toDF("k", "v")
+    val g2 = withNulls.groupBy("k")
+      .agg(graft.functions.expressions.collectUpTo(col("v"), 10).as("g"))
+      .head().getSeq[Int](1)
+    assert(g2.toSet == Set(1, 2))
+  }
+
   test("lang-id markers + fingerprint stability") {
     assert(TextOps.langIdOf("the cat and the dog is on the mat") == "en")
     assert(TextOps.langIdOf("der hund und die katze ist da") == "de")

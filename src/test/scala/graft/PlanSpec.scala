@@ -101,4 +101,10 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q5_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), s"global sort for limit:\n$p")
   }
+
+  test("text_lang_id: pure column kernel — no Scala UDF in the plan") {
+    val p = plan("text_lang_id")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"lang-id fell back to a UDF:\n${p.take(1500)}")
+  }
 }
