@@ -429,7 +429,7 @@ object SparkEntry {
       // the oracle recomputes it over the dumped tail
       val events = EventGen.events(s, entryParams, 8).toDF()
       graft.streaming.StreamOps.dedupeStream(events, "doc")
-        .select(col("_chash").as("content_sha"))
+        .select(col("content_sha"))
     }),
 
     // ---- the engine itself ----

@@ -498,14 +498,24 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
 
   /** One JSONL line per applied micro-batch. Plain append: the driver is
     * the only writer per (entity, query) — a metrics log, not a ledger
-    * (the exactly-once ledger is the lake's commit tags + lineage). */
+    * (the exactly-once ledger is the lake's commit tags + lineage).
+    * Caller-supplied strings go through the Json writer (a quote or
+    * backslash in a query name must not corrupt the log — ADVICE r3).
+    * Assumes `lakeRoot` is a local-FS path, like the snapshot log itself
+    * (a DFS deployment swaps both for the Hadoop FS API together). */
   private def appendMetrics(entity: String, queryName: String,
       batchId: Long, s: ApplyStats, wallMs: Long): Unit = {
-    val line = s"""{"ts":${System.currentTimeMillis()},""" +
-      s""""query":"$queryName","batch":$batchId,""" +
-      s""""batchEvents":${s.batchEvents},"dedupedDocs":${s.dedupedDocs},""" +
-      s""""deletes":${s.deletes},"skippedUnchanged":${s.skippedUnchanged},""" +
-      s""""tables":${s.tables},"wallMs":$wallMs}\n"""
+    import graft.schema.{JNum, JObj, JStr}
+    val line = Json.render(JObj(Vector(
+      "ts" -> JNum(System.currentTimeMillis().toString),
+      "query" -> JStr(queryName),
+      "batch" -> JNum(batchId.toString),
+      "batchEvents" -> JNum(s.batchEvents.toString),
+      "dedupedDocs" -> JNum(s.dedupedDocs.toString),
+      "deletes" -> JNum(s.deletes.toString),
+      "skippedUnchanged" -> JNum(s.skippedUnchanged.toString),
+      "tables" -> JNum(s.tables.toString),
+      "wallMs" -> JNum(wallMs.toString)))) + "\n"
     Files.write(Paths.get(lakeRoot, s"_metrics_$entity.jsonl"),
       line.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
@@ -540,13 +550,29 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
   def bootstrap(entity: String, table: DataFrame, keyCols: Seq[String],
       commitTag: String, bootstrapLsn: Long = 0L): ApplyStats = {
     require(keyCols.nonEmpty, "bootstrap needs at least one key column")
+    // collision candidates matched under the SESSION'S resolution rules:
+    // Spark resolves case-insensitively by default, so a snapshot column
+    // named `ID` or `Rev` collides with the synthetic key fields exactly
+    // like `id`/`rev` — a case-sensitive guard would let it through and
+    // reintroduce the duplicate-field ambiguity (ADVICE r3)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def matches(a: String, b: String): Boolean =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+    def collider(n: String): Option[String] =
+      table.columns.find(matches(_, n))
     val src = Seq("id", "rev").foldLeft(table) { (d, n) =>
-      if (d.columns.contains(n)) d.withColumnRenamed(n, s"${n}_src") else d
+      collider(n) match {
+        case Some(actual) => d.withColumnRenamed(actual, s"${actual}_src")
+        case None         => d
+      }
     }
-    val keyColsR = keyCols.map(k =>
-      if ((k == "id" || k == "rev") && table.columns.contains(k)) s"${k}_src"
-      else k)
-    keyColsR.foreach(k => require(src.columns.contains(k),
+    val keyColsR = keyCols.map { k =>
+      if (Seq("id", "rev").exists(matches(k, _)) && collider(k).isDefined)
+        s"${k}_src"
+      else k
+    }
+    keyColsR.foreach(k => require(src.columns.exists(matches(_, k)),
       s"bootstrap key column $k is not a column of the snapshot"))
     if (src.schema.fields.forall(f => structBootstrapType(f.dataType)))
       bootstrapStruct(entity, src, keyColsR, commitTag, bootstrapLsn)

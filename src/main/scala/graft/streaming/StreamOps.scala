@@ -99,13 +99,22 @@ object StreamOps {
     * hash so it distributes with the shuffle. Cross-horizon dedup belongs
     * to the batch path (anti-join against the lake's historical hashes).
     * On a batch frame this degrades to plain `dropDuplicates` — same
-    * per-batch semantics, which keeps the plan runnable both ways. */
+    * per-batch semantics, which keeps the plan runnable both ways.
+    *
+    * `tsCol` names the event-time column the watermark rides on (a frame
+    * without it fails fast with a clear message instead of an analyzer
+    * error deep in the plan). The kept row per hash is tie-arbitrary; the
+    * emitted frame carries the input columns PLUS `content_sha` (the
+    * dedup key — the deterministic surface; `_chash` no longer leaks). */
   def dedupeStream(docs: DataFrame, contentCol: String = "doc",
-      lateness: String = "10 minutes"): DataFrame = {
-    val hashed = docs.withColumn("_chash", sha2(col(contentCol), 256))
-      .withWatermark("ts", lateness)
-    if (docs.isStreaming) hashed.dropDuplicatesWithinWatermark("_chash")
-    else hashed.dropDuplicates("_chash")
+      lateness: String = "10 minutes", tsCol: String = "ts"): DataFrame = {
+    require(docs.columns.contains(tsCol),
+      s"dedupeStream: event-time column '$tsCol' is not a column of the " +
+        s"frame ${docs.columns.mkString("(", ",", ")")} — pass tsCol=...")
+    val hashed = docs.withColumn("content_sha", sha2(col(contentCol), 256))
+      .withWatermark(tsCol, lateness)
+    if (docs.isStreaming) hashed.dropDuplicatesWithinWatermark("content_sha")
+    else hashed.dropDuplicates("content_sha")
   }
 
   /** Gap-based sessionization per repo with `flatMapGroupsWithState`:

@@ -362,6 +362,17 @@ class EngineSpec extends AnyFunSuite {
     e2.bootstrap("repos", snap, Seq("id"), "b:1")
     assert(readTable(e2, "repos", "repos").orderBy("ID").collect()
       .map(_.getAs[String]("ID")).toSeq == Seq("own-id-1", "own-id-2"))
+    // CASE-INSENSITIVE collision: Spark resolves `ID`/`Rev` against the
+    // synthetic id/rev fields too (default caseSensitive=false), so the
+    // rename guard must catch them (ADVICE r3)
+    val (e3, _) = newEngine()
+    val snapUpper = Seq(("OWN-1", "0.9", "r1", "f1", "x"))
+      .toDF("ID", "Rev", "repo", "path", "content")
+    e3.bootstrap("repos", snapUpper, Seq("repo", "path"), "b:1")
+    val r3 = readTable(e3, "repos", "repos").collect().head
+    assert(r3.getAs[String]("ID") == "r1|f1")     // synthetic key wins
+    assert(r3.getAs[String]("ID_SRC") == "OWN-1") // source survives renamed
+    assert(r3.getAs[String]("REV_SRC") == "0.9")
   }
 
   test("keyless / malformed events are dropped, not silently merged into a null key") {

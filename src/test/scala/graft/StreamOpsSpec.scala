@@ -70,7 +70,7 @@ class StreamOpsSpec extends AnyFunSuite {
   test("dedupeStream: native streaming dedup keeps first occurrence per content hash") {
     val in = MemoryStream[ChangeEvent](spark)
     val q = StreamOps.dedupeStream(in.toDF(), "doc", lateness = "10 minutes")
-      .select("lsn", "_chash")
+      .select("lsn", "content_sha")
       .writeStream.format("memory").queryName("dedup")
       .outputMode(OutputMode.Append()).start()
     // same doc content delivered 3 times across two micro-batches (only
