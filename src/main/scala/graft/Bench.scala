@@ -230,30 +230,42 @@ object Bench {
     // low AND one high sample — a mid-round budget trip that recorded a
     // low-only window would bias the min-based efficiency estimator
     // (extra draws shrink whichever level's min gets them).
+    // Within a round the two levels run back-to-back (the paired
+    // estimator's premise); the ORDER ALTERNATES per round (low-first on
+    // even rounds, high-first on odd) so a monotonic host-load drift
+    // across the run cannot systematically land on one level — measured
+    // r4: a slow second half put every high window 12-15% over the quiet
+    // band while lows stayed flat, an artifact alternation halves.
     (0 until rounds).foreach { round =>
       if (round == 0 || withinBudget) {
-        spark = clusterSession(1)
-        val w = warmUp(spark)
-        if (round == 0) warm = w
-        (0 until samples).foreach { i =>
-          if (i == 0 || withinBudget)
-            lows += replay(spark, nEvents, batches, 32)
+        def lowPhase(): Unit = {
+          spark = clusterSession(1)
+          val w = warmUp(spark)
+          if (round == 0) warm = w
+          (0 until samples).foreach { i =>
+            if (i == 0 || withinBudget)
+              lows += replay(spark, nEvents, batches, 32)
+          }
+          // single-batch reference in round 0 only — its budget goes to a
+          // third multi-batch window instead (the HEADLINE's robustness
+          // beats the reference number's)
+          if (round == 0 && batches > 1)
+            lows1 += replay(spark, nEvents1, 1, 32)
+          spark.stop()
         }
-        // single-batch reference in round 0 only — its budget goes to a
-        // third multi-batch window instead (the HEADLINE's robustness
-        // beats the reference number's)
-        if (round == 0 && batches > 1)
-          lows1 += replay(spark, nEvents1, 1, 32)
-        spark.stop()
-        spark = clusterSession(4)
-        warmUp(spark)
-        (0 until samples).foreach { i =>
-          if (i == 0 || (withinBudget && highs.size < lows.size))
-            highs += replay(spark, nEvents, batches, 32)
+        def highPhase(): Unit = {
+          spark = clusterSession(4)
+          warmUp(spark)
+          (0 until samples).foreach { i =>
+            if (i == 0 || (withinBudget && highs.size <= lows.size))
+              highs += replay(spark, nEvents, batches, 32)
+          }
+          if (round == 0 && batches > 1)
+            highs1 += replay(spark, nEvents1, 1, 32)
+          spark.stop()
         }
-        if (round == 0 && batches > 1)
-          highs1 += replay(spark, nEvents1, 1, 32)
-        spark.stop()
+        if (round % 2 == 0) { lowPhase(); highPhase() }
+        else { highPhase(); lowPhase() }
       }
     }
     val tLow = lows.min

@@ -373,10 +373,13 @@ object SparkEntry {
         .agg(sum("tc").as("total_tokens"), count(lit(1)).as("n_docs"),
           round(avg("n_chars"), 2).as("avg_chars"))),
     "text_lang_id" -> ((s, dir) =>
-      // pure column expression (no UDF in the scan — PlanSpec asserts);
-      // semantics identical to TextOps.langIdOf (property-tested)
+      // native single-pass codegen kernel (no ScalaUDF — PlanSpec
+      // asserts); TextOps.langIdCol is the pure-column proof of the same
+      // semantics (it IS the DuckDB oracle ported back) and OpsSpec
+      // property-tests kernel ≡ column ≡ function
       t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.langIdCol(col("text")).as("pred_lang"))),
+        .select(col("doc_id"), graft.functions.expressions
+          .langId(col("text")).as("pred_lang"))),
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), graft.functions.expressions

@@ -84,9 +84,12 @@ object TextOps {
   def langIdCol(text: Column): Column = {
     val s = concat(lit(" "), lower(text), lit(" "))
     val total = length(s)
+    // LITERAL replace, not regexp_replace: the 25 marker counts each scan
+    // the string, and regex machinery made the column form 17× slower
+    // than the UDF it replaced (measured r4) — StringReplace is a plain
+    // codegen'd substring scan, same non-overlapping semantics
     def markerCount(marker: String): Column =
-      ((total - length(regexp_replace(s,
-        java.util.regex.Pattern.quote(marker), ""))) /
+      ((total - length(replace(s, lit(marker), lit("")))) /
         lit(marker.length)).cast("int")
     val scores = langMarkers.map { case (lang, ms) =>
       lang -> ms.map(markerCount).reduce(_ + _)

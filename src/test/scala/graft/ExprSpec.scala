@@ -79,6 +79,20 @@ class ExprSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("collect_up_to registered as a SQL aggregate: bounded, grouped") {
+    expressions.registerAll(spark)
+    import spark.implicits._
+    Seq(("a", 1), ("a", 2), ("a", 3), ("b", 9)).toDF("k", "v")
+      .createOrReplaceTempView("g_cut")
+    val rows = spark.sql(
+      "SELECT k, collect_up_to(v, 2) AS g FROM g_cut GROUP BY k ORDER BY k")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows(0).getSeq[Int](1).size == 2)
+    assert(rows(0).getSeq[Int](1).toSet.subsetOf(Set(1, 2, 3)))
+    assert(rows(1).getSeq[Int](1) == Seq(9))
+  }
+
   test("parameterized SQL functions: literal args parsed, non-literals rejected") {
     expressions.registerAll(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -109,9 +123,9 @@ class ExprSpec extends AnyFunSuite {
     // wires every GraftFunctions entry into an injection list without error
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
-    // and that the shared table covers all five kernels
+    // and that the shared table covers every kernel
     assert(graft.functions.GraftFunctions.all.map(_._1.funcName).toSet ==
       Set("simhash64", "fingerprint64", "minhash_sig", "word_minhash_sig",
-        "hyperplane_sig"))
+        "hyperplane_sig", "lang_id", "collect_up_to"))
   }
 }

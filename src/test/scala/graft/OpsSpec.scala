@@ -222,9 +222,14 @@ class OpsSpec extends AnyFunSuite {
     val texts = documents.limit(200).select(col("text").as("t"))
       .unionByName(adversarial.toDF("t"))
     val both = texts.select(col("t"), TextOps.langIdCol(col("t")).as("c"),
-      TextOps.langIdUdf(col("t")).as("u")).collect()
-    both.foreach(r => assert(r.getString(1) == r.getString(2),
-      s"column='${r.getString(1)}' fn='${r.getString(2)}' for: ${r.getString(0).take(60)}"))
+      TextOps.langIdUdf(col("t")).as("u"),
+      graft.functions.expressions.langId(col("t")).as("n")).collect()
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"column='${r.getString(1)}' fn='${r.getString(2)}' for: ${r.getString(0).take(60)}")
+      assert(r.getString(3) == r.getString(2),
+        s"native='${r.getString(3)}' fn='${r.getString(2)}' for: ${r.getString(0).take(60)}")
+    }
   }
 
   test("collect_up_to: hard per-group bound, order-agnostic content, null skip") {
