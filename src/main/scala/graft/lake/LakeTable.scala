@@ -269,6 +269,92 @@ final class LakeTable(val spark: SparkSession, val root: String,
   def readBuckets(buckets: Set[Int]): DataFrame =
     resolve(snapshot(), seg => buckets.contains(seg.bucket))
 
+  /** The bucket the given root-key VALUE hashes to under the persisted
+    * layout — driver-side replica of [[bucketExpr]] (same xxhash64 seed),
+    * for predicate→bucket pruning and operational key lookups. */
+  def bucketOfKey(key: String): Int = {
+    val s = snapshot()
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    math.floorMod(h, bucketsOf(s).toLong).toInt
+  }
+
+  /** Read with PREDICATE-DRIVEN bucket pruning — the point-lookup path:
+    * root-key equality / IN predicates in `cond` prune the scan to the
+    * matching buckets (a key lookup reads 1/numBuckets of the table —
+    * at 10^10 rows the difference between a point query and a full
+    * scan); every other predicate applies as a normal filter and still
+    * pushes into the parquet reader. Conservative extraction: `=`/`IN`
+    * on the root-key column, conjunctions narrow, disjunctions union;
+    * anything unrecognized falls back to the full (unpruned) read. */
+  def readWhere(cond: Column): DataFrame = {
+    val s = snapshot()
+    // resolve the predicate against the table schema (driver-only, ms):
+    // Spark 4 Columns are ColumnNode trees, so the catalyst form comes
+    // from analyzing a probe Filter — which also validates the predicate
+    val analyzed = emptyDf(s.schema).filter(cond)
+      .queryExecution.analyzed
+    val keys = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }.flatMap(rootKeyValues(_, s.rootKey))
+    val base = keys match {
+      case Some(vs) =>
+        val buckets = vs.map(bucketOfKey)
+        resolve(s, seg => buckets.contains(seg.bucket))
+      case None => resolve(s, _ => true)
+    }
+    base.filter(cond)
+  }
+
+  /** Root-key values `e` constrains the scan to, or None ("all keys").
+    * And: intersection of constraints (either side may be unconstrained);
+    * Or: union (both sides must be constrained, else everything). */
+  private def rootKeyValues(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      rootKey: String): Option[Set[String]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def isRootKey(x: Expression): Boolean = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name.equalsIgnoreCase(rootKey)
+      case a: AttributeReference => a.name.equalsIgnoreCase(rootKey)
+      case _                     => false
+    }
+    def litStr(x: Expression): Option[String] = x match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(v.toString)
+      case Literal(v, _) if v != null => Some(v.toString)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a, l) if isRootKey(a) => litStr(l).map(Set(_))
+      case EqualTo(l, a) if isRootKey(a) => litStr(l).map(Set(_))
+      case In(a, vs) if isRootKey(a) =>
+        val lits = vs.map(litStr)
+        if (lits.forall(_.isDefined)) Some(lits.flatten.toSet) else None
+      case InSet(a, vs) if isRootKey(a) =>
+        Some(vs.map {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other                                       => String.valueOf(other)
+        }.toSet)
+      case And(l, r) =>
+        (rootKeyValues(l, rootKey), rootKeyValues(r, rootKey)) match {
+          case (Some(a), Some(b)) => Some(a intersect b)
+          case (Some(a), None)    => Some(a)
+          case (None, b)          => b
+        }
+      case Or(l, r) =>
+        for {
+          a <- rootKeyValues(l, rootKey)
+          b <- rootKeyValues(r, rootKey)
+        } yield a union b
+      case _ => None
+    }
+  }
+
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 

@@ -26,6 +26,40 @@ class LakeSpec extends AnyFunSuite {
 
   private def df(rows: (String, String)*) = rows.toDF("ID", "V")
 
+  test("readWhere: root-key predicates prune the scan to matching buckets") {
+    val t = newTable()
+    val keys = (0 until 32).map(i => s"k$i")
+    t.merge(df(keys.map(k => k -> s"v-$k"): _*), Seq("ID"), "ID", "c1")
+    // behavioral proof (same trick as the incr test): corrupt every
+    // bucket EXCEPT k0's — a pruned point lookup succeeds, a full scan
+    // throws on the garbage footer
+    val keep = t.bucketOfKey("k0")
+    val root = t.snapshot().segments.filter(_.bucket != keep)
+    assert(root.nonEmpty)
+    root.foreach { seg =>
+      val segDir = java.nio.file.Paths.get(t.root, t.name, seg.path)
+        .normalize()
+      val fs = java.nio.file.Files.list(segDir)
+      try fs.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.write(p, "NOT PARQUET".getBytes("UTF-8"))
+        ()
+      }
+      finally fs.close()
+    }
+    val got = t.readWhere(col("ID") === "k0").collect()
+    assert(got.map(r => r.getString(0) -> r.getString(1)).toSeq ==
+      Seq("k0" -> "v-k0"))
+    intercept[Throwable] { t.read().count() }
+    // IN / OR prune to the union of key buckets (only keys co-bucketed
+    // with k0 stay readable here, so use k0 twice through different
+    // predicate shapes)
+    assert(t.readWhere(col("ID").isin("k0")).count() == 1)
+    assert(t.readWhere(col("ID") === "k0" || col("ID") === "k0").count() == 1)
+    // conjunction with a non-key predicate still prunes
+    assert(t.readWhere(col("ID") === "k0" && col("V") === "nope").count() == 0)
+  }
+
   test("upsert visibility: newest commit wins per key") {
     val t = newTable()
     t.merge(df("a" -> "1", "b" -> "1"), Seq("ID"), "ID", "c1")
