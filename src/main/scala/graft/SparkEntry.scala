@@ -834,6 +834,135 @@ object SparkEntry {
         |  FROM read_parquet('__OUTDIR__/ann_ivf_clustered/*.parquet') l
         |  WHERE l.id = bf.id)""".stripMargin,
 
+    // FULL value-exact replica of the Karp-Rabin winnowed fingerprint
+    // kernel (TextOps.fingerprintOf k=8/window=16) in DuckDB HUGEINT
+    // arithmetic: closed-form polynomial gram hashes mod 2^64 (inlined
+    // B^j constants), SIGNED per-window minima (Java long compare),
+    // rotate-left via mul/div by exact powers of two, xor fold, and the
+    // Java String.hashCode fallback for sub-k texts. Positions are
+    // Unicode codepoints on both sides (the corpus is BMP, where Java's
+    // UTF-16 code units coincide). Verified byte-exact on all 500 docs.
+    "text_fingerprint" ->
+      """WITH src AS (
+        |  SELECT doc_id, text,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ord(text[i:i])) AS c
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(c) - 6),
+        |      i -> (c[i+0]::HUGEINT * 9015250055358150391::HUGEINT + c[i+1]::HUGEINT * 1423083718267137937::HUGEINT + c[i+2]::HUGEINT * 7232439895113528231::HUGEINT + c[i+3]::HUGEINT * 2173964608407773537::HUGEINT + c[i+4]::HUGEINT * 14069101319555514199::HUGEINT + c[i+5]::HUGEINT * 1000000014000000049::HUGEINT + c[i+6]::HUGEINT * 1000000007::HUGEINT + c[i+7]::HUGEINT * 1::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+        |  FROM src WHERE length(text) >= 8),
+        |wins AS (
+        |  SELECT doc_id, h,
+        |    list_transform(range(0, len(h) // 16),
+        |      w -> list_min(list_transform(h[w*16+1 : w*16+16],
+        |        x -> CASE WHEN x >= 9223372036854775808::HUGEINT
+        |             THEN x - 18446744073709551616::HUGEINT ELSE x END))) AS smins
+        |  FROM grams),
+        |rots AS (
+        |  SELECT doc_id, h,
+        |    list_transform(range(0, len(smins)),
+        |      w -> CAST(
+        |        (((CASE WHEN smins[w+1] < 0::HUGEINT
+        |            THEN smins[w+1] + 18446744073709551616::HUGEINT
+        |            ELSE smins[w+1] END) * power(2, (w % 64))::HUGEINT)
+        |          % 18446744073709551616::HUGEINT)
+        |        + ((CASE WHEN smins[w+1] < 0::HUGEINT
+        |            THEN smins[w+1] + 18446744073709551616::HUGEINT
+        |            ELSE smins[w+1] END) // power(2, (64 - (w % 64)))::HUGEINT)
+        |        AS UBIGINT)) AS rotl
+        |  FROM wins),
+        |accs AS (
+        |  SELECT doc_id, h,
+        |    CASE WHEN len(rotl) = 0 THEN 0::UBIGINT
+        |         ELSE list_reduce(rotl, (a, b) -> xor(a, b)) END AS acc
+        |  FROM rots)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN acc <> 0 THEN
+        |         CASE WHEN acc::HUGEINT >= 9223372036854775808::HUGEINT
+        |              THEN acc::HUGEINT - 18446744073709551616::HUGEINT
+        |              ELSE acc::HUGEINT END
+        |       ELSE CASE WHEN h[1] >= 9223372036854775808::HUGEINT
+        |              THEN h[1] - 18446744073709551616::HUGEINT ELSE h[1] END
+        |  END AS BIGINT) AS fingerprint
+        |FROM accs
+        |UNION ALL
+        |SELECT doc_id,
+        |  CAST(CASE WHEN jh >= 2147483648 THEN jh - 4294967296 ELSE jh END AS BIGINT)
+        |    AS fingerprint
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::HUGEINT,
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> ord(text[i:i])::HUGEINT)),
+        |      (a, x) -> (a * 31 + x) % 4294967296::HUGEINT) AS jh
+        |  FROM documents WHERE length(text) < 8)""".stripMargin,
+
+    // FULL value-exact replica of the SimHash near-dup query in DuckDB:
+    // token term-frequencies, Java String.hashCode (32-bit wraparound,
+    // sign-extended), the 64-bit mix finalizer (xor-shift-multiply mod
+    // 2^64 — multiplications split into 32-bit halves to stay inside
+    // INT128), per-bit weighted majority, then the SAME banded-pairs
+    // condition the Spark side applies (hamming ≤ 8 AND ≥1 shared 16-bit
+    // band of 4). Verified pair-exact (198/198 at sf0.01).
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok, count(*)::HUGEINT AS w
+        |  FROM (SELECT doc_id, unnest(list_filter(
+        |          regexp_split_to_array(text, '\s+'), t -> t <> '')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |jh AS (
+        |  SELECT doc_id, w,
+        |    list_reduce(list_prepend(0::HUGEINT,
+        |      list_transform(range(1, length(tok) + 1), i -> ord(tok[i:i])::HUGEINT)),
+        |      (a, x) -> (a * 31 + x) % 4294967296::HUGEINT) AS h32
+        |  FROM toks),
+        |x0 AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN h32 >= 2147483648::HUGEINT
+        |         THEN h32 - 4294967296::HUGEINT + 18446744073709551616::HUGEINT
+        |         ELSE h32 END AS x
+        |  FROM jh),
+        |m1 AS (SELECT doc_id, w,
+        |  (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z
+        |  FROM x0),
+        |m1x AS (SELECT doc_id, w,
+        |  xor(CAST(z AS UBIGINT), CAST(z // 1073741824::HUGEINT AS UBIGINT))::HUGEINT AS zx
+        |  FROM m1),
+        |m2 AS (SELECT doc_id, w, (((zx) % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT % 18446744073709551616::HUGEINT + (((zx) // 4294967296::HUGEINT) * 13787848793156543929::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM m1x),
+        |m2x AS (SELECT doc_id, w,
+        |  xor(CAST(z AS UBIGINT), CAST(z // 134217728::HUGEINT AS UBIGINT))::HUGEINT AS zx
+        |  FROM m2),
+        |m3 AS (SELECT doc_id, w, (((zx) % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT % 18446744073709551616::HUGEINT + (((zx) // 4294967296::HUGEINT) * 10723151780598845931::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM m2x),
+        |mh AS (SELECT doc_id, w,
+        |  xor(CAST(z AS UBIGINT), CAST(z // 2147483648::HUGEINT AS UBIGINT)) AS h
+        |  FROM m3),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (CAST(h AS HUGEINT) // power(2, b)::HUGEINT) % 2 = 1
+        |        THEN w ELSE -w END) AS s
+        |  FROM mh, range(0, 64) t(b)
+        |  GROUP BY doc_id, b),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN power(2, b)::HUGEINT ELSE 0::HUGEINT END)
+        |      AS UBIGINT) AS sh
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    bit_count(xor(a.sh, b.sh)) AS hamming,
+        |    CAST(a.sh AS HUGEINT) AS sa, CAST(b.sh AS HUGEINT) AS sb
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+        |SELECT id1, id2, CAST(hamming AS INTEGER) AS hamming
+        |FROM pairs
+        |WHERE hamming <= 8 AND (
+        |  (sa % 65536) = (sb % 65536) OR
+        |  (sa // 65536 % 65536) = (sb // 65536 % 65536) OR
+        |  (sa // 4294967296 % 65536) = (sb // 4294967296 % 65536) OR
+        |  (sa // 281474976710656) = (sb // 281474976710656))""".stripMargin,
+
     // recall containment recomputed over the two dumped top-k results —
     // verifies the join/arithmetic of the recall metric independently
     "ann_recall" ->

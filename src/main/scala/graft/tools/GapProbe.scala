@@ -28,7 +28,8 @@ object GapProbe {
       .config("spark.executor.extraClassPath",
         new java.io.File("target/scala-2.13/classes").getAbsolutePath)
       .config("spark.local.dir", "/dev/shm/graft-bench/spark-local")
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PART_BYTES", "16m"))
       .config("spark.sql.shuffle.partitions", execs * execCores *
         sys.env.getOrElse("GRAFT_PART_MULT", "1").toInt)
       .config("spark.sql.session.timeZone", "UTC")
