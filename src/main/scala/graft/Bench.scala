@@ -201,16 +201,16 @@ object Bench {
     // harness timeout.
     val benchT0 = System.nanoTime()
     val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "540").toInt
-    // 3 rounds × 1 multi-batch sample (≈108 s low / 31 s high each):
+    // 4 rounds × 1 multi-batch sample (≈105 s low / 31 s high each):
     // within one session samples are FLAT (warm executors) while
     // cross-session windows pay a fresh-JVM tax even after a warm-up
-    // replay; THREE windows per level decorrelate multi-minute host-steal
-    // bursts (rehearsals where both of 2 high windows caught a burst
-    // recorded 0.76 on an engine whose quiet band is 0.82-0.86), and the
-    // budget guard sheds whole rounds when the box is slow. Round 0
-    // additionally takes one single-batch reference sample per level
-    // (comparability with r1/r2 and the per-batch-overhead story).
-    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
+    // replay; FOUR paired windows give the median estimator room to
+    // shed a stolen round (r4 rehearsal medians sat at 0.797-0.800 with
+    // 3 pairs while the measured quiet band was 0.85). The budget guard
+    // sheds trailing rounds when the box is slow; the single-batch
+    // reference samples run LAST, only on leftover budget (the paired
+    // multi-batch headline outranks the reference number).
+    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "4").toInt
     val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "1").toInt
     def withinBudget: Boolean =
       (System.nanoTime() - benchT0) / 1e9 < budgetSecs
@@ -246,11 +246,6 @@ object Bench {
             if (i == 0 || withinBudget)
               lows += replay(spark, nEvents, batches, 32)
           }
-          // single-batch reference in round 0 only — its budget goes to a
-          // third multi-batch window instead (the HEADLINE's robustness
-          // beats the reference number's)
-          if (round == 0 && batches > 1)
-            lows1 += replay(spark, nEvents1, 1, 32)
           spark.stop()
         }
         def highPhase(): Unit = {
@@ -260,13 +255,23 @@ object Bench {
             if (i == 0 || (withinBudget && highs.size <= lows.size))
               highs += replay(spark, nEvents, batches, 32)
           }
-          if (round == 0 && batches > 1)
-            highs1 += replay(spark, nEvents1, 1, 32)
           spark.stop()
         }
         if (round % 2 == 0) { lowPhase(); highPhase() }
         else { highPhase(); lowPhase() }
       }
+    }
+    // single-batch reference samples LAST, on leftover budget only —
+    // cross-round comparability is secondary to the paired headline
+    if (batches > 1 && withinBudget) {
+      spark = clusterSession(1)
+      warmUp(spark)
+      lows1 += replay(spark, nEvents1, 1, 32)
+      spark.stop()
+      spark = clusterSession(4)
+      warmUp(spark)
+      highs1 += replay(spark, nEvents1, 1, 32)
+      spark.stop()
     }
     val tLow = lows.min
     val tHigh = highs.min
