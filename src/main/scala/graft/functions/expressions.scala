@@ -145,40 +145,60 @@ final case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
   * stage — including map-side partial aggregation — and a monster
   * bucket's surplus rows cost one branch each, never memory.
   *
-  * Implementation: a DeclarativeAggregate over pure catalyst expressions
-  * (`if (size(buf) < limit) concat(buf, array(child)) else buf`), so it
-  * rides the same codegen'd hash-aggregate machinery as the built-ins.
-  * Append cost is O(size) per kept element (array copy) — O(limit²) once
-  * per full group, which at limit ≈ 10³ is noise next to the shuffle.
-  * Element ORDER is arrival order (like collect_list, non-deterministic
-  * across retries) and which elements survive an over-limit group is
-  * equally arrival-dependent — callers must drop over-limit groups
-  * (detected via a parallel `count`) rather than interpret their content. */
-final case class CollectUpTo(child: Expression, limit: Int)
-    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+  * Implementation: extends the same [[TypedImperativeAggregate]] base as
+  * `collect_list` itself (`Collect`), so it plans into
+  * ObjectHashAggregate exactly like the built-in — a DeclarativeAggregate
+  * with an array buffer would fall back to SortAggregate and reintroduce
+  * the per-partition sort the bucketPairs design exists to avoid
+  * (verified via `.explain`). Element ORDER is arrival order (like
+  * collect_list, non-deterministic across retries) and which elements
+  * survive an over-limit group is equally arrival-dependent — callers
+  * must drop over-limit groups (detected via a parallel `count`) rather
+  * than interpret their content. */
+final case class CollectUpTo(
+    child: Expression, limit: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .Collect[scala.collection.mutable.ArrayBuffer[Any]]
     with org.apache.spark.sql.catalyst.trees.UnaryLike[
       org.apache.spark.sql.catalyst.expressions.Expression] {
-  import org.apache.spark.sql.catalyst.expressions._
   require(limit > 0, "collect_up_to: limit must be positive")
 
   override def prettyName: String = "collect_up_to"
-  override def dataType: DataType = ArrayType(child.dataType, child.nullable)
-  override def nullable: Boolean = false
 
-  private lazy val buf = AttributeReference("buf", dataType, nullable = false)()
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(buf)
-  override lazy val initialValues: Seq[Expression] = Seq(
-    Literal.create(
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]),
-      dataType))
-  override lazy val updateExpressions: Seq[Expression] = Seq(
-    If(IsNull(child), buf, // collect_list semantics: nulls are skipped
-      If(LessThan(Size(buf, legacySizeOfNull = false), Literal(limit)),
-        Concat(Seq(buf, CreateArray(Seq(child)))), buf)))
-  override lazy val mergeExpressions: Seq[Expression] = Seq(
-    Slice(Concat(Seq(buf.left, buf.right)), Literal(1), Literal(limit)))
-  override lazy val evaluateExpression: Expression = buf
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Any] =
+    scala.collection.mutable.ArrayBuffer.empty
 
+  override protected def convertToBufferElement(value: Any): Any =
+    org.apache.spark.sql.catalyst.InternalRow.copyValue(value)
+
+  override protected lazy val bufferElementType: DataType = child.dataType
+
+  override def update(
+      buffer: scala.collection.mutable.ArrayBuffer[Any],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : scala.collection.mutable.ArrayBuffer[Any] =
+    if (buffer.size < limit) super.update(buffer, input) else buffer
+
+  override def merge(
+      buffer: scala.collection.mutable.ArrayBuffer[Any],
+      other: scala.collection.mutable.ArrayBuffer[Any])
+      : scala.collection.mutable.ArrayBuffer[Any] = {
+    val room = limit - buffer.size
+    if (room <= 0) buffer
+    else if (other.size <= room) buffer ++= other
+    else buffer ++= other.take(room)
+  }
+
+  override def eval(
+      buffer: scala.collection.mutable.ArrayBuffer[Any]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buffer.toSeq)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectUpTo =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectUpTo =
+    copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): CollectUpTo =
     copy(child = newChild)
 }

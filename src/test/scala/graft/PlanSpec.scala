@@ -102,6 +102,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort for limit:\n$p")
   }
 
+  test("dedup_simhash: capped bucket collection hash-aggregates (no SortAggregate)") {
+    // CollectUpTo must plan like collect_list itself (ObjectHashAggregate)
+    // — a sort-based fallback would reintroduce the per-partition sort
+    // the bucketPairs design removed
+    val p = plan("dedup_simhash")
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(!p.contains("SortAggregate"),
+      s"capped collect fell back to sort aggregation:\n${p.take(1500)}")
+  }
+
   test("text_lang_id: pure column kernel — no Scala UDF in the plan") {
     val p = plan("text_lang_id")
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
