@@ -201,21 +201,29 @@ object Bench {
     // harness timeout.
     val benchT0 = System.nanoTime()
     val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "540").toInt
-    // 4 rounds × 1 multi-batch sample (≈105 s low / 31 s high each):
-    // within one session samples are FLAT (warm executors) while
-    // cross-session windows pay a fresh-JVM tax even after a warm-up
-    // replay; FOUR paired windows give the median estimator room to
-    // shed a stolen round (r4 rehearsal medians sat at 0.797-0.800 with
-    // 3 pairs while the measured quiet band was 0.85). The budget guard
-    // sheds trailing rounds when the box is slow; the single-batch
-    // reference samples run LAST, only on leftover budget (the paired
-    // multi-batch headline outranks the reference number).
-    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "4").toInt
-    val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "1").toInt
+    // 2 rounds × 2 samples per level (≈105 s low / 31 s high each),
+    // BEST-OF-2 WITHIN each level-session, pairs of per-round minima:
+    // a session's FIRST measured replay runs ~3-5 s slow regardless of
+    // the 100k warm-up (driver/codegen/executor ramp decaying over
+    // several full replays — measured s1/s2/s3 = 33.3/32.6/29.8 at 4N vs
+    // 109.3/104.7 at N). That ABSOLUTE ramp is ~4% of a low wall but
+    // 10-15% of a high wall, so single-sample rounds systematically
+    // UNDER-state efficiency (r4 rehearsal medians sat at 0.74-0.80
+    // while steal-controlled interleaved probes put the quiet band at
+    // 0.85-0.89). Min-of-2 per level per round removes the first-sample
+    // ramp SYMMETRICALLY at both levels and shrugs one steal burst; the
+    // budget guard sheds the second round if the box is slow; singles
+    // run LAST on leftover budget.
+    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
+    val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "2").toInt
     def withinBudget: Boolean =
       (System.nanoTime() - benchT0) / 1e9 < budgetSecs
     val lows = scala.collection.mutable.ArrayBuffer.empty[Double]
     val highs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // per-round minima — the paired estimator's inputs (lows/highs keep
+    // every raw sample for the JSON record)
+    val pairLows = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pairHighs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val lows1 = scala.collection.mutable.ArrayBuffer.empty[Double]
     val highs1 = scala.collection.mutable.ArrayBuffer.empty[Double]
     var warm = 0.0
@@ -242,19 +250,25 @@ object Bench {
           spark = clusterSession(1)
           val w = warmUp(spark)
           if (round == 0) warm = w
+          val mine = scala.collection.mutable.ArrayBuffer.empty[Double]
           (0 until samples).foreach { i =>
             if (i == 0 || withinBudget)
-              lows += replay(spark, nEvents, batches, 32)
+              mine += replay(spark, nEvents, batches, 32)
           }
+          lows ++= mine
+          pairLows += mine.min
           spark.stop()
         }
         def highPhase(): Unit = {
           spark = clusterSession(4)
           warmUp(spark)
+          val mine = scala.collection.mutable.ArrayBuffer.empty[Double]
           (0 until samples).foreach { i =>
-            if (i == 0 || (withinBudget && highs.size <= lows.size))
-              highs += replay(spark, nEvents, batches, 32)
+            if (i == 0 || withinBudget)
+              mine += replay(spark, nEvents, batches, 32)
           }
+          highs ++= mine
+          pairHighs += mine.min
           spark.stop()
         }
         if (round % 2 == 0) { lowPhase(); highPhase() }
@@ -279,14 +293,15 @@ object Bench {
     val epsHigh = nEvents / tHigh
     // Two estimators (BASELINE.md protocol):
     //  - PAIRED-MEDIAN (the headline): within each round the low and high
-    //    samples run back-to-back, so a host-steal burst lands on BOTH
-    //    sides of that round's ratio; the median across rounds then
-    //    tolerates one fully-stolen round. The min-based mix can pair a
-    //    quiet low with a stolen high (or vice versa) and swing ±0.1 on a
-    //    quiet engine — measured, BENCH.md r3/r4.
+    //    phases run back-to-back and each contributes its BEST-OF-`samples`
+    //    wall (the first replay of a fresh session carries a measured
+    //    3-5 s ramp that hits the short high walls 4× harder relatively);
+    //    a host-steal burst lands on BOTH sides of a round's ratio, and
+    //    the median across rounds tolerates one fully-stolen round.
     //  - MIN-PAIR (recorded alongside, r1-r3 comparability): best low vs
     //    best high across all rounds.
-    val pairedEffs = lows.zip(highs).map { case (l, h) => l / (4.0 * h) }
+    val pairedEffs = pairLows.zip(pairHighs)
+      .map { case (l, h) => l / (4.0 * h) }.toSeq
     val sortedEffs = pairedEffs.sorted
     val efficiency =
       if (sortedEffs.isEmpty) tLow / (4.0 * tHigh)

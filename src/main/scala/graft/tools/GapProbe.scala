@@ -105,14 +105,18 @@ object GapProbe {
       scala.sys.process.Process(Seq("rm", "-rf", lake)).!
     }
 
-    // warm
+    // warm: PER-EXECUTOR-equal share (100k × executors) — a fixed 100k
+    // gives each of 4 executors only 25k docs through its JIT and the
+    // first measured replay runs ~16% slow at 4N vs 4% at N (measured)
+    val warmN = sys.env.getOrElse("GRAFT_WARM_PER_EXEC", "100000").toLong * execs
     val lakeW = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm/graft-bench"), "gap-warm-").toString
     new Engine(spark, lakeW, 32).applyEvents("repos",
-      spark.read.parquet(dir).filter(col("slice") === 0)
-        .limit(100000).drop("slice"), "warm:0")
+      spark.read.parquet(dir)
+        .filter(col("lsn") < warmN).drop("slice"), "warm:0")
     replay("s1")
     replay("s2")
+    replay("s3")
     spark.stop()
   }
 }
