@@ -42,20 +42,14 @@ final case class ApplyStats(
 final class Engine(val spark: SparkSession, val lakeRoot: String,
     val numBuckets: Int = 64) {
 
-  // doctosql coercions are lenient (invalid date/number → null,
-  // sqlDML.ts:257-296); Spark 4 defaults to ANSI (throwing) casts
-  spark.conf.set("spark.sql.ansi.enabled", "false")
-
-  // FileOutputCommitter v2: task-side renames instead of a driver-side
-  // serial rename pass at job commit. A micro-batch writes O(tables ×
-  // buckets) files; on a real DFS the v1 driver rename pass is seconds of
-  // SERIAL per-batch cost that scales with file count, not cluster size —
-  // exactly what depresses N→4N scaling. (Local-FS effect ≈ 0 — measured
-  // neutral, BENCH.md r4 — but the at-scale default is v2; crash-safety
-  // holds because the snapshot log registers files only after job
-  // success, and vacuum GCs orphans.)
-  spark.sparkContext.hadoopConfiguration
-    .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
+  // The engine NEVER mutates session-global configuration (ADVICE r4: a
+  // reader-only session constructing an Engine must not silently lose ANSI
+  // casts, and other writers must not inherit the lake's committer):
+  //  - doctosql's lenient coercions (invalid date/number → null,
+  //    sqlDML.ts:257-296) are expressed with explicit `try_cast` in the
+  //    flatten/merge paths, identical under ANSI and legacy sessions;
+  //  - FileOutputCommitter v2 rides per-write DataFrameWriter options
+  //    ([[graft.lake.LakeTable.WriteOptions]]), scoped to lake writes only.
 
   // ---------- schema registry (persisted widened tree per entity) ----------
 
@@ -195,7 +189,7 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       opCol: Option[String] = None): ApplyStats = {
 
     val seqed = seqCol match {
-      case Some(c) => docs.withColumn("_seq", col(c).cast("long"))
+      case Some(c) => docs.withColumn("_seq", col(c).try_cast("long"))
       case None    => docs.withColumn("_seq", monotonically_increasing_id())
     }
 
@@ -269,7 +263,7 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
             s"columns — got ${a.columns.mkString("(", ",", ")")}; a guessed " +
             "lsn would silently mis-order deletes against same-key upserts")
         a.select(col(a.columns(0)).cast("string").as("_docid"),
-          col(a.columns(1)).cast("long").as("_seq"))
+          col(a.columns(1)).try_cast("long").as("_seq"))
       } else
         a.select(col(a.columns(0)).cast("string").as("_docid"))
           .withColumn("_seq", lit(null).cast("long"))
@@ -719,7 +713,7 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
         // text doesn't match the container schema (lenient parse)
         case n if srcCols.contains(n) && atomicTarget => col(n)
         case _ => lit(null)
-      }).cast(f.dataType).as(f.name)
+      }).try_cast(f.dataType).as(f.name)
     }: _*)
 
     val keyed = src

@@ -68,7 +68,7 @@ object Flattener {
   private def aiExpr(node: Attr, nodeCol: Column, pos: Option[Column]): Column = {
     val injected = pos.getOrElse(lit(0)).cast(IntegerType)
     if (hasField(node, "ai"))
-      coalesce(nodeCol.getField("ai").cast(IntegerType), injected)
+      coalesce(nodeCol.getField("ai").try_cast(IntegerType), injected)
     else injected
   }
 
@@ -85,14 +85,17 @@ object Flattener {
 
   /** Scalar coercion per the reference's bind rules (sqlDML.ts:257-296):
     * int → numeric cast; number → lexical text unchanged; date → lenient
-    * timestamp parse; boolean → 0/1; string → text with empty→null. */
+    * timestamp parse; boolean → 0/1; string → text with empty→null.
+    * Lenient directions use `try_cast` (null on invalid — the same result
+    * a legacy-mode cast gives) so the semantics hold on ANSI sessions too:
+    * the engine does not flip session conf (ADVICE r4). */
   private def coerce(c: ColumnSpec, raw: Column): Column = c.dType match {
-    case DType.Int  => raw.cast(IntegerType)
+    case DType.Int  => raw.try_cast(IntegerType)
     case DType.Num  => raw.cast(StringType)
-    case DType.Date => raw.cast(TimestampType) // lenient; invalid → null
-    case DType.Bool => raw.cast(IntegerType)   // true→1 / false→0
+    case DType.Date => raw.try_cast(TimestampType) // lenient; invalid → null
+    case DType.Bool => raw.try_cast(IntegerType)   // true→1 / false→0
     case _          => when(length(raw.cast(StringType)) === 0, lit(null))
-      .otherwise(raw.cast(StringType))         // ''→null (JS falsy bind)
+      .otherwise(raw.cast(StringType))             // ''→null (JS falsy bind)
   }
 
   /** Build the DataFrame for one table from a batch that has a parsed

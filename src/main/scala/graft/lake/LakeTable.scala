@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 
 import graft.schema.{JArr, JNum, JObj, JStr, JValue, Json}
 
@@ -289,7 +289,14 @@ final class LakeTable(val spark: SparkSession, val root: String,
     * scan); every other predicate applies as a normal filter and still
     * pushes into the parquet reader. Conservative extraction: `=`/`IN`
     * on the root-key column, conjunctions narrow, disjunctions union;
-    * anything unrecognized falls back to the full (unpruned) read. */
+    * anything unrecognized falls back to the full (unpruned) read.
+    *
+    * Pruning applies ONLY when the root-key column is a string: the
+    * persisted layout hashes the column in its NATIVE type, while the
+    * driver-side replica ([[bucketOfKey]]) hashes the literal's string
+    * rendering — for a non-string key those disagree and pruning would
+    * silently return missing rows, so such tables take the full-scan
+    * path (correct, just unpruned). */
   def readWhere(cond: Column): DataFrame = {
     val s = snapshot()
     // resolve the predicate against the table schema (driver-only, ms):
@@ -297,7 +304,10 @@ final class LakeTable(val spark: SparkSession, val root: String,
     // from analyzing a probe Filter — which also validates the predicate
     val analyzed = emptyDf(s.schema).filter(cond)
       .queryExecution.analyzed
-    val keys = analyzed.collectFirst {
+    val rootKeyIsString = s.schema.fields
+      .find(_.name.equalsIgnoreCase(s.rootKey))
+      .exists(_.dataType == StringType)
+    val keys = if (!rootKeyIsString) None else analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition
     }.flatMap(rootKeyValues(_, s.rootKey))
@@ -512,7 +522,8 @@ final class LakeTable(val spark: SparkSession, val root: String,
     up.observe(obs, count(when(!col(DelCol), 1)).as("nup"),
         count(when(col(DelCol), 1)).as("ndel"))
       .repartition(nb, col(BucketCol))
-      .write.partitionBy(BucketCol).mode("overwrite")
+      .write.options(LakeTable.WriteOptions)
+      .partitionBy(BucketCol).mode("overwrite")
       .parquet(dir.resolve(rel).toString)
     // AQE empty-propagation can eliminate the CollectMetrics node when the
     // batch is provably empty (the observation then reports no metrics) —
@@ -552,7 +563,9 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val newSeq = s.version + 1L
     val seqOf: DataFrame => org.apache.spark.sql.Column = df =>
       rowSeqCol.filter(df.columns.contains)
-        .map(c => coalesce(col(c).cast(LongType), lit(newSeq)))
+        // try_cast: lenient regardless of the session's ANSI mode — the
+        // engine never flips session-global conf (ADVICE r4)
+        .map(c => coalesce(col(c).try_cast(LongType), lit(newSeq)))
         .getOrElse(lit(newSeq))
     val upRows = align(updates
       .withColumn(SeqCol, seqOf(updates))
@@ -567,7 +580,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       require(domain == "commit" || named.columns.length >= 2,
         s"table $name: lsn-domain deletes need an explicit delete lsn")
       val seqExpr =
-        if (domain == "lsn") col(named.columns(1)).cast(LongType)
+        if (domain == "lsn") col(named.columns(1)).try_cast(LongType)
         else lit(newSeq) // commit domain: ignore any caller seq — one domain
       align(named
         .withColumn(SeqCol, seqExpr)
@@ -644,7 +657,8 @@ final class LakeTable(val spark: SparkSession, val root: String,
       .repartition(math.max(1, math.min(bucketsOf(s), nBuckets)),
         col(BucketCol))
       .sortWithinPartitions(keyCols.map(col): _*)
-      .write.partitionBy(BucketCol).mode("overwrite")
+      .write.options(LakeTable.WriteOptions)
+      .partitionBy(BucketCol).mode("overwrite")
       .parquet(dir.resolve(rel).toString)
     listBucketDirs(dir.resolve(rel)).map { case (b, p) =>
       Segment(dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
@@ -783,6 +797,18 @@ final class LakeTable(val spark: SparkSession, val root: String,
 
 object LakeTable {
 
+  /** Per-write Hadoop options for every lake data write. FileOutputCommitter
+    * v2 (task-side renames instead of a serial driver rename pass at job
+    * commit): a micro-batch writes O(tables × buckets) files, and on a real
+    * DFS the v1 driver pass is seconds of SERIAL per-batch cost that scales
+    * with file count, not cluster size. Scoped per-write (DataFrameWriter
+    * options merge into that job's Hadoop conf) so constructing an engine
+    * never mutates the shared session's committer for non-lake writes
+    * (ADVICE r4). Crash-safety holds because the snapshot log registers
+    * files only after job success, and vacuum GCs orphans. */
+  val WriteOptions: Map[String, String] =
+    Map("mapreduce.fileoutputcommitter.algorithm.version" -> "2")
+
   /** One table's share of a multi-table commit (see [[mergeAll]]). */
   final case class TableMerge(
       table: LakeTable,
@@ -867,7 +893,8 @@ object LakeTable {
     val parts = pending.map { case (m, s, _) => m.table.bucketsOf(s) }.max
     union.observe(obs, aggs.head, aggs.tail: _*)
       .repartition(parts, col(TableCol), col(bucketColName))
-      .write.partitionBy(TableCol, bucketColName).mode("overwrite")
+      .write.options(WriteOptions)
+      .partitionBy(TableCol, bucketColName).mode("overwrite")
       .parquet(outDir.toString)
     val metrics = obs.get
 

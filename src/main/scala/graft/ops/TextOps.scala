@@ -72,7 +72,9 @@ object TextOps {
     c
   }
 
-  val langIdUdf = udf(langIdOf _)
+  // null-safe: Spark calls String-typed UDFs on null inputs (no primitive
+  // null-skip), and the column/native forms both yield null on null text
+  val langIdUdf = udf((s: String) => if (s == null) null else langIdOf(s))
 
   /** Language-ID as a PURE COLUMN EXPRESSION — identical semantics to
     * [[langIdOf]] (non-overlapping marker counts via replace-and-measure,
@@ -105,7 +107,11 @@ object TextOps {
           (langs.drop(i + 1).map(byLang) :+ lit(0).cast("int")): _*)
         when(byLang(lang) >= laterMax, lang).otherwise(elseExpr)
     }
-    when(allZero, "und").otherwise(best)
+    // NULL text → NULL (matching langIdOf/LangId64's null-safe eval): every
+    // when() condition above is null on null input, so without this guard
+    // the fold would fall through to lit(langs.last) — ADVICE r4
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(when(allZero, "und").otherwise(best))
   }
 
   /** Rolling-hash document fingerprint: Karp-Rabin over character k-grams,

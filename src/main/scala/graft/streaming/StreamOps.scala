@@ -111,6 +111,11 @@ object StreamOps {
     require(docs.columns.contains(tsCol),
       s"dedupeStream: event-time column '$tsCol' is not a column of the " +
         s"frame ${docs.columns.mkString("(", ",", ")")} — pass tsCol=...")
+    // the dedup key is emitted under a PUBLIC name; silently overwriting a
+    // caller's same-named column would corrupt data downstream (ADVICE r4)
+    require(!docs.columns.contains("content_sha"),
+      "dedupeStream: the input frame already has a 'content_sha' column — " +
+        "rename it first; dedupeStream emits the dedup key under that name")
     val hashed = docs.withColumn("content_sha", sha2(col(contentCol), 256))
       .withWatermark(tsCol, lateness)
     if (docs.isStreaming) hashed.dropDuplicatesWithinWatermark("content_sha")

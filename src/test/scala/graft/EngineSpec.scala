@@ -56,6 +56,29 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getAs[String]("A_STRING") == "Thirty One Point Six One Seven ...")
   }
 
+  test("engine never mutates session conf: ANSI survives and coercions stay lenient") {
+    // ADVICE r4 / VERDICT r4 #6: constructing an Engine used to flip
+    // spark.sql.ansi.enabled for the whole session. The lenient coercions
+    // now ride explicit try_cast, so the same golden doc loads with
+    // identical values on an ANSI session — and the session's conf is
+    // untouched afterwards.
+    val before = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val (e, _) = newEngine()
+      assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+        "Engine construction must not flip session ANSI conf")
+      e.load("testd2s", Seq(Fixtures.doc1).toDF("doc"), "doc", "t:1")
+      val r = readTable(e, "testd2s", "testd2s").collect().head
+      assert(r.getAs[String]("ID") == "doc-0001")
+      assert(r.getAs[Int]("A_BOOLEAN") == 1)
+      assert(r.getAs[String]("A_NUMBER") == "31.61705701614879")
+      assert(r.getAs[java.sql.Timestamp]("A_DATE").toInstant.toString ==
+        "2020-06-23T12:00:00Z")
+      assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    } finally spark.conf.set("spark.sql.ansi.enabled", before)
+  }
+
   test("lone object w/o id: AI=0, FK to root") {
     val e = loadDoc1()
     val r = readTable(e, "testd2s", "anObjectWithNoId").collect().head

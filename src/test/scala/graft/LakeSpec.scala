@@ -60,6 +60,27 @@ class LakeSpec extends AnyFunSuite {
     assert(t.readWhere(col("ID") === "k0" && col("V") === "nope").count() == 0)
   }
 
+  test("readWhere: NON-STRING root key disables pruning, rows stay correct") {
+    // the persisted layout hashes the key in its native type while the
+    // driver-side bucketOfKey replica hashes a string rendering — for a
+    // LongType key those disagree, so pruning must NOT apply (ADVICE r4:
+    // the pruned path silently returned missing rows)
+    val t = new LakeTable(spark, SparkTestSession.tmpDir("graft-lakespec-"),
+      "TL", numBuckets = 4)
+    t.create(StructType(Seq(
+      StructField("ID", LongType, nullable = false),
+      StructField("V", StringType, nullable = true))), Seq("ID"), "ID")
+    val rows = (0L until 32L).map(i => i -> s"v-$i")
+    t.merge(rows.toDF("ID", "V"), Seq("ID"), "ID", "c1")
+    // every point lookup must hit (the old code pruned to the wrong
+    // bucket for most long keys and returned 0 rows)
+    rows.foreach { case (k, v) =>
+      val got = t.readWhere(col("ID") === k).collect()
+      assert(got.length == 1 && got.head.getString(1) == v, s"key $k")
+    }
+    assert(t.readWhere(col("ID").isin(3L, 17L)).count() == 2)
+  }
+
   test("upsert visibility: newest commit wins per key") {
     val t = newTable()
     t.merge(df("a" -> "1", "b" -> "1"), Seq("ID"), "ID", "c1")

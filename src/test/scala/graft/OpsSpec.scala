@@ -218,18 +218,21 @@ class OpsSpec extends AnyFunSuite {
       "the cat and the dog is on the mat", "der hund und die katze ist da",
       "xyzzy", "", " ", "la la la", "el y la", "le et la les est",
       "的是了在我", "the der le el 的", "and und et y 是",
-      "THE AND OF TO IS", "  the  ", "a the b und c le d el e 的 f")
+      "THE AND OF TO IS", "  the  ", "a the b und c le d el e 的 f",
+      null) // NULL text: all three forms must agree on null (ADVICE r4)
     val texts = documents.limit(200).select(col("text").as("t"))
       .unionByName(adversarial.toDF("t"))
     val both = texts.select(col("t"), TextOps.langIdCol(col("t")).as("c"),
       TextOps.langIdUdf(col("t")).as("u"),
       graft.functions.expressions.langId(col("t")).as("n")).collect()
     both.foreach { r =>
+      val txt = Option(r.getString(0)).map(_.take(60)).getOrElse("<null>")
       assert(r.getString(1) == r.getString(2),
-        s"column='${r.getString(1)}' fn='${r.getString(2)}' for: ${r.getString(0).take(60)}")
+        s"column='${r.getString(1)}' fn='${r.getString(2)}' for: $txt")
       assert(r.getString(3) == r.getString(2),
-        s"native='${r.getString(3)}' fn='${r.getString(2)}' for: ${r.getString(0).take(60)}")
+        s"native='${r.getString(3)}' fn='${r.getString(2)}' for: $txt")
     }
+    assert(both.exists(r => r.getString(0) == null && r.getString(1) == null))
   }
 
   test("collect_up_to: hard per-group bound, order-agnostic content, null skip") {
