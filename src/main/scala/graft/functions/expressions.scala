@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot-path text digests.
@@ -115,6 +115,73 @@ final case class WordMinHashSig(child: Expression, n: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Character k-shingle hash set (sorted, distinct) — the exact-verify
+  * side of the MinHash family ([[graft.ops.Dedup.shingles]]) as a native
+  * expression: the shingle kernel runs once per document over the whole
+  * corpus in `verifyJaccard`, the same compute-dense shape [[MinHashSig]]
+  * was nativized for (VERDICT r4 #2 — it was the last Scala-UDF kernel
+  * on a dedup hot path). */
+final case class CharShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(graft.ops.Dedup.shingles(
+      input.asInstanceOf[UTF8String].toString, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.ops.Dedup.shingles($c.toString(), $k))")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+/** Word n-gram shingle hash set (sorted, distinct) — see
+  * [[graft.ops.Dedup.wordShingles]]. */
+final case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(graft.ops.Dedup.wordShingles(
+      input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.ops.Dedup.wordShingles($c.toString(), $n))")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard of two SORTED distinct `array<bigint>` hash sets (one
+  * merge pass, zero allocation — see [[graft.ops.Dedup.sortedJaccard]]).
+  * Null-safe: a null side yields null (the caller's threshold filter then
+  * drops the pair — the drop-unknown-ids semantics ADVICE r4 asked for). */
+final case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.ops.Dedup.sortedJaccard(
+      a.asInstanceOf[ArrayData].toLongArray(),
+      b.asInstanceOf[ArrayData].toLongArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.ops.Dedup.sortedJaccard($a.toLongArray(), $b.toLongArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane sign-bit signature of an `array<float>` embedding
   * (see [[graft.ops.Similarity.hyperplaneSig]]) — native for the same
   * reason as [[MinHashSig]]: it runs once per vector in every LSH
@@ -220,6 +287,13 @@ object expressions {
       .toAggregateExpression())
   def langId(c: Column): Column =
     GraftBridge.column(LangId64(GraftBridge.expression(c)))
+  def charShingles(c: Column, k: Int): Column =
+    GraftBridge.column(CharShingles(GraftBridge.expression(c), k))
+  def wordShingles(c: Column, n: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(c), n))
+  def sortedJaccard(a: Column, b: Column): Column =
+    GraftBridge.column(SortedJaccard(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
 
   /** SQL registration on an EXISTING session:
     * `SELECT simhash64(text), minhash_sig(text, 5, 64), ...`.
@@ -289,6 +363,18 @@ object GraftFunctions {
     fn("lang_id",
       "lang_id(text) - marker-profile language identification (en/de/fr/es/zh/und)",
       es => { arity("lang_id", es, 1); LangId64(es.head) }),
+    fn("char_shingles",
+      "char_shingles(text, k) - sorted distinct char k-shingle hashes",
+      es => { arity("char_shingles", es, 2)
+        CharShingles(es.head, intLit(es(1), "char_shingles", "k")) }),
+    fn("word_shingles",
+      "word_shingles(text, n) - sorted distinct word n-gram hashes",
+      es => { arity("word_shingles", es, 2)
+        WordShingles(es.head, intLit(es(1), "word_shingles", "n")) }),
+    fn("sorted_jaccard",
+      "sorted_jaccard(a, b) - exact Jaccard of two sorted hash arrays",
+      es => { arity("sorted_jaccard", es, 2)
+        SortedJaccard(es.head, es(1)) }),
     fn("collect_up_to",
       "collect_up_to(expr, limit) - collect_list hard-bounded at limit " +
         "elements per group (hot-bucket guard; content arrival-ordered)",

@@ -126,6 +126,7 @@ class ExprSpec extends AnyFunSuite {
     // and that the shared table covers every kernel
     assert(graft.functions.GraftFunctions.all.map(_._1.funcName).toSet ==
       Set("simhash64", "fingerprint64", "minhash_sig", "word_minhash_sig",
-        "hyperplane_sig", "lang_id", "collect_up_to"))
+        "hyperplane_sig", "lang_id", "collect_up_to",
+        "char_shingles", "word_shingles", "sorted_jaccard"))
   }
 }

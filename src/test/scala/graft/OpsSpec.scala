@@ -49,6 +49,31 @@ class OpsSpec extends AnyFunSuite {
     assert(verified.length >= 7)
   }
 
+  test("verifyJaccard: native kernels match Scala; unknown-id pairs dropped") {
+    // native shingle expressions ≡ the Scala kernels they wrap
+    val texts = documents.limit(30).select(col("doc_id"), col("text"))
+    texts.collect().foreach { r =>
+      val t = r.getString(1)
+      val cs = texts.filter(col("doc_id") === r.getLong(0))
+        .select(graft.functions.expressions.charShingles(col("text"), 5),
+          graft.functions.expressions.wordShingles(col("text"), 3))
+        .head()
+      assert(cs.getSeq[Long](0) == Dedup.shingles(t, 5).toSeq)
+      assert(cs.getSeq[Long](1) == Dedup.wordShingles(t, 3).toSeq)
+    }
+    // a pair referencing an id absent from df is dropped, not an NPE
+    // (ADVICE r4: the melted join used to feed null arrays to the UDF)
+    val pairs = Seq((1L, 2L), (1L, 999999L), (888888L, 999999L))
+      .toDF("id1", "id2")
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = Dedup.verifyJaccard(pairs, docs, "doc_id", "text",
+      shingleK = 5, threshold = 0.0).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L &&
+      got.head.getLong(1) == 2L && got.head.getDouble(2) == 1.0)
+  }
+
   test("minhash signature math: identical → 1.0, disjoint → ~0") {
     val a = Dedup.minhashSignature("the quick brown fox jumps", 5, 64)
     val b = Dedup.minhashSignature("the quick brown fox jumps", 5, 64)

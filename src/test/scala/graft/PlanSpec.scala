@@ -112,6 +112,16 @@ class PlanSpec extends AnyFunSuite {
       s"capped collect fell back to sort aggregation:\n${p.take(1500)}")
   }
 
+  test("dedup jaccard verify: native kernels — no Scala UDF in either plan") {
+    // VERDICT r4 #2: shingle + jaccard verify kernels were the last
+    // Scala UDFs on a dedup hot path; both queries route verifyJaccard
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+        s"$q fell back to a UDF:\n${p.take(1500)}")
+    }
+  }
+
   test("text_lang_id: pure column kernel — no Scala UDF in the plan") {
     val p = plan("text_lang_id")
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
