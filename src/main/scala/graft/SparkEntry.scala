@@ -31,15 +31,51 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val lake = java.nio.file.Files
       .createTempDirectory("graft-entry-lake-").toString
-    val engine = new Engine(spark, lake, numBuckets = 16)
-    engine.applyEvents("repos",
-      EventGen.events(spark, entryParams, 8).toDF(), "entry:0")
-    val spec = Catalog.fromTree(engine.loadRegistry("repos").get)
-      .find(_.isRoot).get
-    engine.table(spec).read()
+    buildEntryLake(spark, lake)
+    entryRootTable(spark, lake).read()
       .select(col("ID"), col("REV"), sha2(col("CONTENT"), 256).as("content_sha"))
       .orderBy("ID")
   }
+
+  private def buildEntryLake(spark: SparkSession, lake: String): Unit = {
+    import spark.implicits._
+    val engine = new Engine(spark, lake, numBuckets = 16)
+    engine.applyEvents("repos",
+      EventGen.events(spark, entryParams, 8).toDF(), "entry:0")
+    ()
+  }
+
+  private def entryRootTable(spark: SparkSession,
+      lake: String): graft.lake.LakeTable = {
+    val engine = new Engine(spark, lake, numBuckets = 16)
+    val spec = Catalog.fromTree(engine.loadRegistry("repos").get)
+      .find(_.isRoot).get
+    engine.table(spec)
+  }
+
+  // One applied entry-tail lake per session, for queries that exercise
+  // READ paths over the final state (point lookups): the flagship keeps
+  // rebuilding per call — it measures the engine — but a lookup query
+  // should measure the lookup, not an engine replay in front of it.
+  private val entryLakes = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def ensureEntryLake(s: SparkSession): String =
+    entryLakes.computeIfAbsent(s, _ => {
+      val lake = java.nio.file.Files
+        .createTempDirectory("graft-entry-lake-shared-").toString
+      buildEntryLake(s, lake)
+      lake
+    })
+
+  /** The point-lookup key set: two hot-repo keys that certainly exist,
+    * one mid-tail key, and one almost-certainly-ABSENT cold key (the
+    * lookup must return it on neither side). Ids follow EventGen's
+    * deterministic `repo|src/fP.lang|cK` shape. */
+  val PointLookupIds: Seq[String] = Seq(
+    "repo-0000|src/f0.scala|c0",
+    "repo-0000|src/f3.rs|c0",
+    "repo-0001|src/f2.rs|c2",
+    "repo-0019|src/f7.py|c1")
 
   // shared expression: whitespace token count, oracle-identical form
   private def tokenCountSql(textCol: String): String =
@@ -437,6 +473,20 @@ object SparkEntry {
 
     // ---- the engine itself ----
     "engine_replay" -> ((s, dir) => entry(s)),
+    "cdc_point_lookup" -> ((s, dir) => {
+      // predicate→bucket-pruned point lookup on the applied final state
+      // (LakeTable.readWhere): equality OR IN on the root key reads only
+      // the matching buckets' files — at 10^10 rows the difference
+      // between a key lookup and a full table scan. The lake is built
+      // once per session (the flagship measures the replay; this
+      // measures the LOOKUP).
+      val table = entryRootTable(s, ensureEntryLake(s))
+      table.readWhere(col("ID") === PointLookupIds.head ||
+          col("ID").isin(PointLookupIds.tail: _*))
+        .select(col("ID"), col("REV"),
+          sha2(col("CONTENT"), 256).as("content_sha"))
+        .orderBy("ID")
+    }),
   )
 
   /** Deterministic query vector: the embedding of vec_id 0. */
@@ -669,6 +719,22 @@ object SparkEntry {
         |       json_extract_string(doc, '$.rev') AS REV,
         |       sha256(json_extract_string(doc, '$.content')) AS content_sha
         |FROM w WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+
+    // point lookup over the SAME replayed final state, restricted to the
+    // fixed key set (one key is intentionally absent from the tail)
+    "cdc_point_lookup" ->
+      s"""WITH w AS (
+         |  SELECT lsn, op, doc, row_number() OVER (
+         |      PARTITION BY json_extract_string(doc, '$$.id')
+         |      ORDER BY lsn DESC) AS rn
+         |  FROM (SELECT DISTINCT lsn, op, doc
+         |        FROM read_parquet('__OUTDIR__/engine_events/*.parquet')))
+         |SELECT json_extract_string(doc, '$$.id') AS ID,
+         |       json_extract_string(doc, '$$.rev') AS REV,
+         |       sha256(json_extract_string(doc, '$$.content')) AS content_sha
+         |FROM w WHERE rn = 1 AND op <> 'delete'
+         |  AND json_extract_string(doc, '$$.id') IN
+         |    (${PointLookupIds.map(id => s"'$id'").mkString(", ")})""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

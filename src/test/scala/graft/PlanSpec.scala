@@ -112,6 +112,24 @@ class PlanSpec extends AnyFunSuite {
       s"capped collect fell back to sort aggregation:\n${p.take(1500)}")
   }
 
+  test("cdc_point_lookup: scan lists ONLY the looked-up keys' buckets") {
+    val df = SparkEntry.queries("cdc_point_lookup")(spark, dir)
+    // allowed buckets: the lake hashes the root key with xxhash64(seed 42)
+    // mod 16 — replicate with the same Spark expression
+    import org.apache.spark.sql.functions._
+    val allowed = spark.range(1).select(
+      SparkEntry.PointLookupIds.map(id =>
+        pmod(xxhash64(lit(id)), lit(16)).cast("int")): _*)
+      .head().toSeq.map(_.asInstanceOf[Int]).toSet
+    val scanned = df.inputFiles.flatMap(
+      "_gbucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toInt)).toSet
+    assert(scanned.nonEmpty, "point lookup scanned no files")
+    assert(scanned.subsetOf(allowed),
+      s"scan touched non-key buckets: $scanned vs allowed $allowed")
+    // and the lookup genuinely pruned: a full scan reads every bucket
+    assert(allowed.size < 16 && scanned.size <= allowed.size)
+  }
+
   test("dedup jaccard verify: native kernels — no Scala UDF in either plan") {
     // VERDICT r4 #2: shingle + jaccard verify kernels were the last
     // Scala UDFs on a dedup hot path; both queries route verifyJaccard
