@@ -766,6 +766,12 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     * (vacuum keeps `keepSnapshots`, 10 by default — far more than the one
     * in-flight batch the cut ever needs to step back over); a pruned cut
     * falls back to the oldest retained snapshot containing the tag. */
+  // the cut each entity's registered views currently PIN against vacuum
+  // (released when a newer cut replaces it — refcounted, so re-pinning
+  // the same version across a refresh never drops to zero in between)
+  private val viewPins = scala.collection.mutable.Map
+    .empty[String, Seq[(LakeTable, Int)]]
+
   def registerConsistentViews(entity: String,
       prefix: String = ""): Seq[String] =
     loadRegistry(entity).toSeq.flatMap { tree =>
@@ -773,25 +779,52 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
         .map(t => (t, table(t))).filter(_._2.exists())
       if (live.isEmpty) Nil
       else {
-        val snaps = live.map { case (t, l) => (t, l, l.snapshot()) }
-        val common = snaps.map(_._3.commits.toSet).reduce(_ intersect _)
-        // newest common tag, in the root table's commit order
-        val order = snaps.find(_._1.isRoot).map(_._3)
-          .getOrElse(snaps.head._3).commits
-        val cut = order.reverse.find(common.contains)
-        snaps.map { case (t, l, cur) =>
-          val snap = cut match {
-            case None => cur // no common batch yet: current state
-            case Some(tag) =>
-              // oldest retained snapshot that has the cut tag = the state
-              // right after that batch committed on this table
-              l.snapshotVersions().iterator.map(l.snapshotAt)
-                .find(_.hasCommit(tag)).getOrElse(cur)
+        // choose-pin-verify loop (VERDICT r4 #8): a vacuum running between
+        // cut selection and the pin could GC the cut's superseded segments
+        // — pin first, then verify every chosen snapshot is still fully on
+        // disk; a torn cut unpins and re-chooses on the fresh log head
+        var out: Option[Seq[String]] = None
+        while (out.isEmpty) {
+          val snaps = live.map { case (t, l) => (t, l, l.snapshot()) }
+          val common = snaps.map(_._3.commits.toSet).reduce(_ intersect _)
+          // newest common tag, in the root table's commit order
+          val order = snaps.find(_._1.isRoot).map(_._3)
+            .getOrElse(snaps.head._3).commits
+          val cut = order.reverse.find(common.contains)
+          val chosen = snaps.map { case (t, l, cur) =>
+            val snap = cut match {
+              case None => cur // no common batch yet: current state
+              case Some(tag) =>
+                // oldest retained snapshot that has the cut tag = the state
+                // right after that batch committed on this table
+                l.snapshotVersions().iterator.map(l.snapshotAt)
+                  .find(_.hasCommit(tag)).getOrElse(cur)
+            }
+            (t, l, snap)
           }
-          val name = s"$prefix${t.fullName}"
-          l.readAt(snap).createOrReplaceTempView(name)
-          name
+          chosen.foreach { case (_, l, snap) => l.pinSnapshot(snap.version) }
+          if (chosen.forall { case (_, l, snap) => l.materialized(snap) }) {
+            out = Some(chosen.map { case (t, l, snap) =>
+              val name = s"$prefix${t.fullName}"
+              l.readAt(snap).createOrReplaceTempView(name)
+              name
+            })
+            // release the PREVIOUS cut only after the new one is pinned
+            viewPins.getOrElse(entity, Nil)
+              .foreach { case (l, v) => l.unpinSnapshot(v) }
+            viewPins(entity) =
+              chosen.map { case (_, l, snap) => (l, snap.version) }
+          } else chosen.foreach { case (_, l, snap) =>
+            l.unpinSnapshot(snap.version)
+          }
         }
+        out.get
       }
     }
+
+  /** Release the snapshot pins held by [[registerConsistentViews]] (the
+    * views stay registered but lose vacuum protection). */
+  def releaseConsistentViews(entity: String): Unit =
+    viewPins.remove(entity).getOrElse(Nil)
+      .foreach { case (l, v) => l.unpinSnapshot(v) }
 }

@@ -1,6 +1,6 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -192,8 +192,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       seqDomain, nb)
   }
 
-  private def writeSnapshot(s: Snapshot): Unit = {
-    Files.createDirectories(snapDir)
+  private def renderSnapshot(s: Snapshot): String = {
     val body = JObj(Vector(
       "version" -> JNum(s.version.toString),
       "schemaVer" -> JNum(s.schemaVer.toString),
@@ -219,11 +218,32 @@ final class LakeTable(val spark: SparkSession, val root: String,
         "compacted" -> JArr(l.compacted.map(b => JNum(b.toString): JValue).toVector),
         "wallMs" -> JNum(l.wallMs.toString))): JValue).toVector),
     ))
-    val tmp = snapDir.resolve(f".tmp-v${s.version}%05d.json")
-    Files.writeString(tmp, Json.render(body))
-    // atomic publish: rename is the commit point
-    Files.move(tmp, snapDir.resolve(f"v${s.version}%05d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    Json.render(body)
+  }
+
+  /** Create-EXCLUSIVE snapshot publish — the commit point. Returns false
+    * when this version already exists: a concurrent writer won the race
+    * and the caller must re-read the log and retry its commit on top
+    * (VERDICT r4 #7 — an ATOMIC_MOVE rename REPLACES an existing name on
+    * POSIX, so last-writer-wins would silently DROP the other writer's
+    * commit). Hard-link onto the final name is the portable atomic
+    * create-if-absent; the uniquely-named tmp file makes concurrent
+    * writers' staging files collision-free too. */
+  private def publishSnapshot(s: Snapshot): Boolean = {
+    Files.createDirectories(snapDir)
+    val tmp = snapDir.resolve(
+      f".tmp-${java.util.UUID.randomUUID().toString.take(8)}-v${s.version}%05d.json")
+    Files.writeString(tmp, renderSnapshot(s))
+    val target = snapDir.resolve(f"v${s.version}%05d.json")
+    try {
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        false
+    }
   }
 
   // ---------- DDL ----------
@@ -233,8 +253,10 @@ final class LakeTable(val spark: SparkSession, val root: String,
   def create(schema: StructType, keyCols: Seq[String],
       rootKey: String): Unit = if (!exists()) {
     Files.createDirectories(dir.resolve("data"))
-    writeSnapshot(Snapshot(1, 1, Map(1 -> schema), keyCols, rootKey, Nil,
+    // publish may lose to a concurrent creator — that's the no-op case
+    publishSnapshot(Snapshot(1, 1, Map(1 -> schema), keyCols, rootKey, Nil,
       Nil, Nil, numBuckets = numBuckets))
+    ()
   }
 
   /** Additive schema evolution (alterTables, sqlDDL.ts:27-65): commit a
@@ -242,16 +264,18 @@ final class LakeTable(val spark: SparkSession, val root: String,
     * their old schema version and are cast on read. No-op when unchanged. */
   def evolve(newSchema: StructType, keyCols: Seq[String],
       rootKey: String): Snapshot = {
-    val s = snapshot()
-    if (s.schema == newSchema && s.keyCols == keyCols && s.rootKey == rootKey) s
-    else {
+    while (true) {
+      val s = snapshot()
+      if (s.schema == newSchema && s.keyCols == keyCols &&
+        s.rootKey == rootKey) return s
       val ver = if (s.schema == newSchema) s.schemaVer else s.schemaVer + 1
       val next = s.copy(version = s.version + 1, schemaVer = ver,
         schemas = s.schemas + (ver -> newSchema), keyCols = keyCols,
         rootKey = rootKey)
-      writeSnapshot(next)
-      next
+      if (publishSnapshot(next)) return next
+      // collision: a concurrent writer advanced the log — re-derive
     }
+    throw new IllegalStateException("unreachable")
   }
 
   // ---------- read ----------
@@ -261,9 +285,56 @@ final class LakeTable(val spark: SparkSession, val root: String,
   def read(): DataFrame = resolve(snapshot(), _ => true)
 
   /** Read a specific (possibly historical) snapshot — time travel within
-    * the vacuum retention window (a vacuumed snapshot's superseded
-    * segment dirs may be gone; read promptly after choosing a cut). */
+    * the vacuum retention window. For a cut held across queries (e.g. a
+    * registered consistent view), [[pinSnapshot]] it first: vacuum keeps
+    * pinned versions' segments and snapshot files alive; an unpinned
+    * historical snapshot's superseded segment dirs can be GC'd at any
+    * time. */
   def readAt(s: Snapshot): DataFrame = resolve(s, _ => true)
+
+  // ---------- consistent-read pins (vacuum protection) ----------
+
+  private def pinKey: String = dir.toAbsolutePath.normalize().toString
+
+  /** Pin `version` against vacuum (refcounted, process-wide): its segments
+    * and snapshot file survive [[vacuum]] until every pin is released.
+    * VERDICT r4 #8: a consistent-view cut chosen between a concurrent
+    * vacuum's liveness scan and the reader's query execution would
+    * otherwise dirty-read half-deleted segment dirs. */
+  def pinSnapshot(version: Int): Unit = {
+    LakeTable.pinnedVs.compute(pinKey, (_, cur) => {
+      val m = Option(cur).getOrElse(Map.empty[Int, Int])
+      m + (version -> (m.getOrElse(version, 0) + 1))
+    })
+    ()
+  }
+
+  /** Release one pin on `version` (see [[pinSnapshot]]). */
+  def unpinSnapshot(version: Int): Unit = {
+    LakeTable.pinnedVs.computeIfPresent(pinKey, (_, m) => {
+      val n = m.getOrElse(version, 0) - 1
+      val m2 = if (n <= 0) m - version else m + (version -> n)
+      if (m2.isEmpty) null else m2
+    })
+    ()
+  }
+
+  /** Versions currently pinned on this table (any holder, this process). */
+  def pinnedVersions(): Set[Int] =
+    Option(LakeTable.pinnedVs.get(pinKey)).map(_.keySet).getOrElse(Set.empty)
+
+  /** The still-readable snapshots of every pinned version. */
+  def pinnedSnapshots(): Seq[Snapshot] =
+    pinnedVersions().toSeq.sorted.flatMap { v =>
+      val p = snapDir.resolve(f"v$v%05d.json")
+      if (Files.exists(p)) Some(readSnapshot(p, v)) else None
+    }
+
+  /** Whether every segment of `s` is still on disk — the verify half of
+    * the pin-then-verify protocol: choose a cut, pin it, then check it
+    * was not vacuumed in between (retry the choice if it was). */
+  def materialized(s: Snapshot): Boolean =
+    s.segments.forall(seg => Files.exists(dir.resolve(seg.path)))
 
   /** Read only the given buckets (partition pruning for key-local scans). */
   def readBuckets(buckets: Set[Int]): DataFrame =
@@ -514,7 +585,10 @@ final class LakeTable(val spark: SparkSession, val root: String,
     // appends as delta; touched buckets and counts ride on an Observation
     // of the same query — no separate pre-scan job, nothing persisted
     val obs = org.apache.spark.sql.Observation()
-    val rel = f"data/c$ver%05dd"
+    // unique dir per writer: two concurrent mergers at the same version
+    // must never share (and clobber) one commit dir
+    val rel = f"data/c$ver%05dd-" +
+      java.util.UUID.randomUUID().toString.take(6)
     // deltas are NOT sorted: they live ≤ maxDeltas merges before
     // compaction rewrites them, and the merge-on-read resolution shuffles
     // on the key anyway — only base segments (long-lived, read-heavy)
@@ -593,43 +667,64 @@ final class LakeTable(val spark: SparkSession, val root: String,
   /** Commit already-written delta segments: inline-compact at-cap buckets,
     * then publish the next snapshot — the commit-side half of [[merge]].
     * `deltaSegs` must be registered leaf dirs of THIS table (any layout —
-    * own-dir or a [[LakeTable.mergeAll]] shared commit via `sub`). */
-  private[lake] def commitDelta(s: Snapshot, commitTag: String,
+    * own-dir or a [[LakeTable.mergeAll]] shared commit via `sub`).
+    *
+    * Collision-safe under concurrent writers: the publish is
+    * create-exclusive, and on losing the race the WHOLE commit derivation
+    * re-runs against the fresh log head — delta segments are re-stamped
+    * to the new visibility seq, the at-cap set is recomputed, and any
+    * compaction re-runs over the merged segment view (the loser's earlier
+    * compaction output is orphaned and vacuumed). The already-written
+    * delta FILES are never redone — only the metadata commit. */
+  private[lake] def commitDelta(s0: Snapshot, commitTag: String,
       keyCols: Seq[String], rootKeyCol: String, deltaSegs: Seq[Segment],
       upserted: Long, deleted: Long, t0: Long, domain: String): Snapshot = {
-    // buckets already at the delta cap go straight to compaction (known
-    // from the snapshot alone — no pre-scan of the batch needed)
-    val atCap: Set[Int] = s.segments
-      .filter(_.kind == "delta").groupBy(_.bucket)
-      .collect { case (b, xs) if xs.size >= maxDeltas - 1 => b }.toSet
-    val ver = s.version + 1
-    val touched: Set[Int] = deltaSegs.map(_.bucket).toSet
-    if (touched.isEmpty && atCap.isEmpty) return commitEmpty(s, commitTag, t0)
-
-    // compaction (the rare second job): at-cap buckets — existing segments
-    // ∪ their fresh delta, read back COLUMNAR from what was just written —
-    // resolve to one base segment each; winners keep their SeqCol so later
-    // deltas still shadow correctly, and live tombstones ride along
-    val baseSegs =
-      if (atCap.isEmpty) Nil
-      else {
-        val raw = readSegments(s,
-          (s.segments ++ deltaSegs).filter(seg => atCap.contains(seg.bucket)))
-        writeBase(s, ver, raw, keyCols, rootKeyCol, atCap.size, None)
-      }
-
-    val inCap = (seg: Segment) => atCap.contains(seg.bucket)
-    val next = s.copy(
-      version = ver,
-      segments = (s.segments ++ deltaSegs).filterNot(inCap) ++ baseSegs,
-      commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
-      lineage = (s.lineage :+ Lineage(commitTag, touched.toSeq.sorted,
-        upserted, deleted, atCap.toSeq.sorted,
-        (System.nanoTime() - t0) / 1000000)).takeRight(maxLineage),
-      seqDomain = domain,
-    )
-    writeSnapshot(next)
-    next
+    var s = s0
+    while (true) {
+      if (s.hasCommit(commitTag)) return s // another writer applied our tag
+      // buckets already at the delta cap go straight to compaction (known
+      // from the snapshot alone — no pre-scan of the batch needed)
+      val atCap: Set[Int] = s.segments
+        .filter(_.kind == "delta").groupBy(_.bucket)
+        .collect { case (b, xs) if xs.size >= maxDeltas - 1 => b }.toSet
+      val ver = s.version + 1
+      // visibility seq = the version this attempt will publish as
+      val stamped = deltaSegs.map(_.copy(seq = ver.toLong))
+      val touched: Set[Int] = stamped.map(_.bucket).toSet
+      val next =
+        if (touched.isEmpty && atCap.isEmpty)
+          s.copy(version = ver,
+            commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
+            lineage = (s.lineage :+ Lineage(commitTag, Nil, 0, 0, Nil,
+              (System.nanoTime() - t0) / 1000000)).takeRight(maxLineage))
+        else {
+          // compaction (the rare second job): at-cap buckets — existing
+          // segments ∪ their fresh delta, read back COLUMNAR from what was
+          // just written — resolve to one base segment each; winners keep
+          // their SeqCol so later deltas still shadow correctly, and live
+          // tombstones ride along
+          val baseSegs =
+            if (atCap.isEmpty) Nil
+            else {
+              val raw = readSegments(s,
+                (s.segments ++ stamped).filter(seg => atCap.contains(seg.bucket)))
+              writeBase(s, ver, raw, keyCols, rootKeyCol, atCap.size, None)
+            }
+          val inCap = (seg: Segment) => atCap.contains(seg.bucket)
+          s.copy(
+            version = ver,
+            segments = (s.segments ++ stamped).filterNot(inCap) ++ baseSegs,
+            commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
+            lineage = (s.lineage :+ Lineage(commitTag, touched.toSeq.sorted,
+              upserted, deleted, atCap.toSeq.sorted,
+              (System.nanoTime() - t0) / 1000000)).takeRight(maxLineage),
+            seqDomain = domain,
+          )
+        }
+      if (publishSnapshot(next)) return next
+      s = snapshot() // lost the race: re-derive on the new log head
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Resolve `raw` (existing ∪ fresh, meta-carrying) and write one base
@@ -651,7 +746,8 @@ final class LakeTable(val spark: SparkSession, val root: String,
         .agg(max(col(SeqCol)).as(SeqCol))
         .filter(col(SeqCol) >= horizon)
         .withColumn(DelCol, lit(true)), metaTarget)
-    val rel = f"data/c$ver%05db"
+    val rel = f"data/c$ver%05db-" +
+      java.util.UUID.randomUUID().toString.take(6)
     winners.unionByName(toms)
       .withColumn(BucketCol, bucketExpr(col(rootKeyCol), bucketsOf(s)))
       .repartition(math.max(1, math.min(bucketsOf(s), nBuckets)),
@@ -672,15 +768,6 @@ final class LakeTable(val spark: SparkSession, val root: String,
       if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
-  }
-
-  private def commitEmpty(s: Snapshot, tag: String, t0: Long): Snapshot = {
-    val next = s.copy(version = s.version + 1,
-      commits = (s.commits :+ tag).takeRight(maxCommitTags),
-      lineage = (s.lineage :+ Lineage(tag, Nil, 0, 0, Nil,
-        (System.nanoTime() - t0) / 1000000)).takeRight(maxLineage))
-    writeSnapshot(next)
-    next
   }
 
   /** Force-compact every bucket that currently holds deltas: resolve and
@@ -705,8 +792,11 @@ final class LakeTable(val spark: SparkSession, val root: String,
       commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
       lineage = (s.lineage :+ Lineage(commitTag, dirty.toSeq.sorted, 0, 0,
         dirty.toSeq.sorted, 0)).takeRight(maxLineage))
-    writeSnapshot(next)
-    next
+    // collision: a concurrent merge advanced the log between our read and
+    // publish — our base segments would DROP its deltas if force-applied;
+    // re-run the whole pass on the fresh head (old output is vacuumed)
+    if (publishSnapshot(next)) next
+    else compactAll(commitTag, expireTombstonesBelow)
   }
 
   /** Re-layout the table into `newBuckets` hash buckets — the GROWTH path
@@ -740,8 +830,9 @@ final class LakeTable(val spark: SparkSession, val root: String,
       lineage = (s.lineage :+ Lineage(commitTag,
         newSegs.map(_.bucket).sorted, 0, 0,
         newSegs.map(_.bucket).sorted, 0)).takeRight(maxLineage))
-    writeSnapshot(next)
-    next
+    // same collision contract as compactAll: rebuild on the fresh head
+    if (publishSnapshot(next)) next
+    else rebucket(newBuckets, commitTag, expireTombstonesBelow)
   }
 
   /** Remove data directories no live segment references (failed writes,
@@ -753,7 +844,10 @@ final class LakeTable(val spark: SparkSession, val root: String,
     * that write (the Iceberg remove-orphan-files default, same reason). */
   def vacuum(keepSnapshots: Int = 10, graceMs: Long = 600000L): Int = {
     val s = snapshot()
-    val live: Set[Path] = s.segments
+    val pins = pinnedVersions()
+    // liveness = current snapshot ∪ every PINNED snapshot still readable
+    // (a registered consistent-view cut must stay queryable, VERDICT r4 #8)
+    val live: Set[Path] = (s.segments ++ pinnedSnapshots().flatMap(_.segments))
       .map(seg => dir.resolve(seg.path).getParent.normalize()).toSet
     val dataDir = dir.resolve("data")
     val cutoff = System.currentTimeMillis() - graceMs
@@ -769,9 +863,11 @@ final class LakeTable(val spark: SparkSession, val root: String,
         }
       }
     }
-    // expire old snapshot files (keep the newest K)
+    // expire old snapshot files (keep the newest K, plus pinned versions)
     val snaps = listDir(snapDir).filter(p => versionOf(p) > 0).sortBy(versionOf)
-    snaps.dropRight(keepSnapshots).foreach(p => Files.deleteIfExists(p))
+    snaps.dropRight(keepSnapshots)
+      .filterNot(p => pins.contains(versionOf(p)))
+      .foreach(p => Files.deleteIfExists(p))
     removed
   }
 
@@ -808,6 +904,11 @@ object LakeTable {
     * files only after job success, and vacuum GCs orphans. */
   val WriteOptions: Map[String, String] =
     Map("mapreduce.fileoutputcommitter.algorithm.version" -> "2")
+
+  /** Process-wide refcounted snapshot pins per table dir (consistent-view
+    * cuts) — see [[LakeTable.pinSnapshot]]. */
+  private val pinnedVs =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Int]]()
 
   /** One table's share of a multi-table commit (see [[mergeAll]]). */
   final case class TableMerge(
@@ -934,7 +1035,7 @@ object LakeTable {
       !p.getFileName.toString.startsWith("_"))
     val live: Set[Path] = tables.flatMap { p =>
       val t = new LakeTable(spark, lakeRoot, p.getFileName.toString)
-      t.snapshotOpt().toSeq.flatMap(_.segments)
+      (t.snapshotOpt().toSeq ++ t.pinnedSnapshots()).flatMap(_.segments)
         .map(seg => p.resolve(seg.path).normalize())
     }.toSet
     val cutoff = System.currentTimeMillis() - graceMs

@@ -81,6 +81,64 @@ class LakeSpec extends AnyFunSuite {
     assert(t.readWhere(col("ID").isin(3L, 17L)).count() == 2)
   }
 
+  test("two concurrent writers: create-exclusive publish loses no commits") {
+    // VERDICT r4 #7: the old ATOMIC_MOVE publish was last-writer-wins on a
+    // version collision — a concurrent writer's commit silently vanished.
+    // Race two instances over the same table (low maxDeltas so inline
+    // compaction races too) and prove every commit tag and every row lands.
+    val root = SparkTestSession.tmpDir("graft-lakespec-")
+    val a = new LakeTable(spark, root, "T2W", numBuckets = 4, maxDeltas = 3)
+    a.create(schema, Seq("ID"), "ID")
+    val b = new LakeTable(spark, root, "T2W", numBuckets = 4, maxDeltas = 3)
+    val nPer = 6
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(a, b).zipWithIndex.map { case (t, w) =>
+      new Thread(() => {
+        try (0 until nPer).foreach { i =>
+          t.merge(df(s"w$w-k$i" -> s"v$w-$i"), Seq("ID"), "ID", s"w$w:c$i")
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    val s = a.snapshot()
+    val tags = (for (w <- 0 until 2; i <- 0 until nPer)
+      yield s"w$w:c$i").toSet
+    assert(tags.subsetOf(s.commits.toSet),
+      s"lost commits: ${tags -- s.commits.toSet}")
+    val rows = a.read().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.size == 2 * nPer)
+    (0 until 2).foreach(w => (0 until nPer).foreach(i =>
+      assert(rows(s"w$w-k$i") == s"v$w-$i")))
+    // the log is a gapless version chain (every attempt re-derived on the
+    // fresh head instead of clobbering)
+    assert(s.version >= 1 + 2 * nPer)
+  }
+
+  test("pinned snapshot survives an aggressive vacuum; unpin re-enables GC") {
+    val t = newTable(maxDeltas = 2)
+    t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
+    val cut = t.snapshot()
+    t.pinSnapshot(cut.version)
+    // supersede the cut's segments entirely
+    t.merge(df("a" -> "2", "b" -> "1"), Seq("ID"), "ID", "c2")
+    t.compactAll("c3")
+    t.merge(df("a" -> "3"), Seq("ID"), "ID", "c4")
+    t.compactAll("c5")
+    Thread.sleep(50)
+    t.vacuum(keepSnapshots = 1, graceMs = 0L)
+    assert(t.materialized(cut), "pinned cut's segments were vacuumed")
+    assert(t.snapshotVersions().contains(cut.version),
+      "pinned snapshot FILE expired")
+    assert(t.readAt(cut).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq == Seq("a" -> "1"))
+    t.unpinSnapshot(cut.version)
+    Thread.sleep(50)
+    t.vacuum(keepSnapshots = 1, graceMs = 0L)
+    assert(!t.materialized(cut), "unpinned superseded segments not GC'd")
+  }
+
   test("upsert visibility: newest commit wins per key") {
     val t = newTable()
     t.merge(df("a" -> "1", "b" -> "1"), Seq("ID"), "ID", "c1")
