@@ -569,16 +569,18 @@ object SparkEntry {
         tmp, bits = AnnBits)
     }
 
-  /** Build the IVF inverted-list layout once (k-means train + assign). */
+  /** Build the IVF inverted-list layout once (k-means train + assign).
+    * Tag v2: the hot-cell-guard layout (cell manifest sidecar) — a cached
+    * pre-guard index must not be reused. */
   def ensureIvfIndex(s: SparkSession, dir: String): String =
-    ensureIndex(indexDirFor(dir, s"ivf$IvfK")) { tmp =>
+    ensureIndex(indexDirFor(dir, s"ivfv2-$IvfK")) { tmp =>
       Similarity.ivfIndexVectors(t(s, dir, "embeddings"), "vec_id",
         "embedding", tmp, k = IvfK)
     }
 
   /** IVF layout over the clustered-evaluation union (same k/nprobe). */
   def ensureClusteredIvfIndex(s: SparkSession, dir: String): String =
-    ensureIndex(indexDirFor(dir, s"ivfc$IvfK")) { tmp =>
+    ensureIndex(indexDirFor(dir, s"ivfcv2-$IvfK")) { tmp =>
       Similarity.ivfIndexVectors(clusteredEmb(s, dir), "vec_id",
         "embedding", tmp, k = IvfK)
     }
