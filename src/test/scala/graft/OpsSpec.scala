@@ -333,20 +333,69 @@ class OpsSpec extends AnyFunSuite {
 
   // ---------- multimodal ----------
 
-  test("multimodal: decode stub, resize, frame-sample plumbing") {
+  test("multimodal: PPM/BMP decode to identical logical pixels; WAV duration from header") {
+    // the same logical image through both containers: the BMP decoder
+    // must undo bottom-up rows, BGR order and 4-byte padding to agree
+    val id = 7L
+    val (w, h) = Multimodal.imageDims(id)
+    val rgb = Array.tabulate(w * h * 3)(j =>
+      Multimodal.payloadByte(id, j.toLong).toByte)
+    val viaPpm = Multimodal.decode(Multimodal.ppmBytes(w, h, rgb))
+    val viaBmp = Multimodal.decode(Multimodal.bmpBytes(w, h, rgb))
+    assert(viaPpm.width == w && viaPpm.height == h)
+    assert(viaBmp.width == w && viaBmp.height == h)
+    assert(viaPpm.payload.toSeq == rgb.toSeq)
+    assert(viaBmp.payload.toSeq == rgb.toSeq, "BMP layout not normalized")
+    // WAV: duration derived from the parsed byte rate and data length
+    val nSamples = Multimodal.audioSampleCount(id)
+    val wav = Multimodal.wavBytes(Multimodal.WavRate, 1,
+      Array.tabulate(nSamples)(j => Multimodal.payloadByte(id, j.toLong).toByte))
+    val dw = Multimodal.decode(wav)
+    assert(dw.channels == 1 && dw.durationMs == nSamples * 1000L / Multimodal.WavRate)
+    assert(dw.payload.length == nSamples)
+    // a corrupted BMP width is a decode failure, not silent garbage
+    val bad = Multimodal.bmpBytes(w, h, rgb).clone()
+    bad(19) = (bad(19) + 1).toByte // biWidth += 256 → raster can't fit
+    intercept[Exception] { Multimodal.decode(bad) }
+  }
+
+  test("multimodal: real decode, resize, frame-sample over the synthetic corpus") {
     val assets = Multimodal.syntheticAssets(spark, 30)
-    val decoded = Multimodal.decodeAndExtract(assets)
-    val rows = decoded.collect()
+    val rows = Multimodal.decodeAndExtract(assets).collect()
     assert(rows.length == 30)
-    assert(rows.forall(_.width >= 64))
     assert(rows.forall(_.feature.length == 8))
-    // resize caps the max dimension, keeps payload size
-    val resized = Multimodal.resize(assets, maxDim = 32)
-    val rd = Multimodal.decodeAndExtract(resized).collect()
-    assert(rd.forall(m => math.max(m.width, m.height) <= 32))
-    // frame sampling: every 2nd 32-byte frame of a 256-byte body = 4 frames
-    val frames = Multimodal.frameSample(assets, everyNth = 2)
-    assert(frames.groupBy("asset_id").count().collect()
-      .forall(_.getAs[Long]("count") == 4))
+    // checksums match the generator's closed form — derived from BYTES
+    rows.foreach { m =>
+      val n = m.kind match {
+        case "image" =>
+          val (w, h) = Multimodal.imageDims(m.asset_id); w * h * 3
+        case "audio" => Multimodal.audioSampleCount(m.asset_id)
+        case _ =>
+          val (w, h) = Multimodal.videoDims(m.asset_id)
+          Multimodal.videoFrameCount(m.asset_id) * w * h * 3
+      }
+      val expect = (0L until n.toLong)
+        .map(j => (j + 1) * Multimodal.payloadByte(m.asset_id, j)).sum
+      assert(m.checksum == expect, s"asset ${m.asset_id} (${m.kind})")
+    }
+    // REAL nearest-neighbor resize: dims capped, pixel (0,0) preserved
+    val resized = Multimodal.resize(assets.filter(_.kind != "audio"), maxDim = 16)
+    resized.collect().foreach { a =>
+      val d = Multimodal.decode(a.media)
+      assert(math.max(d.width, d.height) <= 16, s"asset ${a.asset_id}")
+      assert((d.payload(0) & 0xFF) == Multimodal.payloadByte(a.asset_id, 0))
+    }
+    // frame sampling: image = 1 frame; video = ceil(nf/2); audio absent
+    val counts = Multimodal.frameSample(assets, everyNth = 2)
+      .groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 30L).foreach { i =>
+      (i % 3) match {
+        case 0 => assert(counts(i) == 1)
+        case 1 => assert(!counts.contains(i))
+        case _ =>
+          assert(counts(i) == (Multimodal.videoFrameCount(i) + 1) / 2)
+      }
+    }
   }
 }
