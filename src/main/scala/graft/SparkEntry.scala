@@ -597,12 +597,15 @@ object SparkEntry {
       finally s.close()
     }
 
-  /** One-time preparation (index builds): Bench calls this OUTSIDE the
-    * timed region so `ann_lsh` measures the probe, not the build. */
+  /** One-time preparation (index + shared-lake builds): Bench calls this
+    * OUTSIDE the timed region so `ann_lsh` measures the probe (not the
+    * build) and `cdc_point_lookup` measures the lookup (not the replay
+    * that populates the lake — `engine_replay` is the timed replay). */
   def prepare(s: SparkSession, dir: String): Unit = {
     ensureAnnIndex(s, dir)
     ensureIvfIndex(s, dir)
     ensureClusteredIvfIndex(s, dir)
+    ensureEntryLake(s)
     ()
   }
 

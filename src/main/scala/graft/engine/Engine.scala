@@ -768,9 +768,10 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     * falls back to the oldest retained snapshot containing the tag. */
   // the cut each entity's registered views currently PIN against vacuum
   // (released when a newer cut replaces it — refcounted, so re-pinning
-  // the same version across a refresh never drops to zero in between)
-  private val viewPins = scala.collection.mutable.Map
-    .empty[String, Seq[(LakeTable, Int)]]
+  // the same version across a refresh never drops to zero in between);
+  // synchronized: concurrent view refreshes must swap pins atomically
+  private val viewPins = java.util.Collections.synchronizedMap(
+    new java.util.HashMap[String, Seq[(LakeTable, Int)]]())
 
   def registerConsistentViews(entity: String,
       prefix: String = ""): Seq[String] =
@@ -810,10 +811,9 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
               name
             })
             // release the PREVIOUS cut only after the new one is pinned
-            viewPins.getOrElse(entity, Nil)
-              .foreach { case (l, v) => l.unpinSnapshot(v) }
-            viewPins(entity) =
-              chosen.map { case (_, l, snap) => (l, snap.version) }
+            val prev = viewPins.put(entity,
+              chosen.map { case (_, l, snap) => (l, snap.version) })
+            if (prev != null) prev.foreach { case (l, v) => l.unpinSnapshot(v) }
           } else chosen.foreach { case (_, l, snap) =>
             l.unpinSnapshot(snap.version)
           }
@@ -824,7 +824,8 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
 
   /** Release the snapshot pins held by [[registerConsistentViews]] (the
     * views stay registered but lose vacuum protection). */
-  def releaseConsistentViews(entity: String): Unit =
-    viewPins.remove(entity).getOrElse(Nil)
-      .foreach { case (l, v) => l.unpinSnapshot(v) }
+  def releaseConsistentViews(entity: String): Unit = {
+    val prev = viewPins.remove(entity)
+    if (prev != null) prev.foreach { case (l, v) => l.unpinSnapshot(v) }
+  }
 }

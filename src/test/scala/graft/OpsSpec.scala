@@ -333,6 +333,29 @@ class OpsSpec extends AnyFunSuite {
 
   // ---------- multimodal ----------
 
+  test("multimodal: PPM/BMP/WAV round-trip property over arbitrary dims/content") {
+    // encode→decode is the identity on the logical stream for every
+    // (w, h) — including the BMP padding edge cases w*3 % 4 ∈ {0,1,2,3}
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val g = for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 30)
+      seed <- Gen.choose(0, 1000000)
+    } yield (w, h, seed)
+    (0 until 40).foreach { i =>
+      val (w, h, seed) = g.pureApply(Gen.Parameters.default, Seed(7L + i))
+      val rgb = Array.tabulate(w * h * 3)(j => ((seed + j * 17) % 256).toByte)
+      assert(Multimodal.decode(Multimodal.ppmBytes(w, h, rgb))
+        .payload.toSeq == rgb.toSeq, s"ppm w=$w h=$h")
+      assert(Multimodal.decode(Multimodal.bmpBytes(w, h, rgb))
+        .payload.toSeq == rgb.toSeq, s"bmp w=$w h=$h (stride pad ${w * 3 % 4})")
+      val n = 8 * (1 + seed % 200)
+      val pcm = Array.tabulate(n)(j => ((seed + j * 31) % 256).toByte)
+      val d = Multimodal.decode(Multimodal.wavBytes(8000, 1, pcm))
+      assert(d.payload.toSeq == pcm.toSeq && d.durationMs == n / 8, s"wav n=$n")
+    }
+  }
+
   test("multimodal: PPM/BMP decode to identical logical pixels; WAV duration from header") {
     // the same logical image through both containers: the BMP decoder
     // must undo bottom-up rows, BGR order and 4-byte padding to agree
