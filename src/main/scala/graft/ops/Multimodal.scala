@@ -332,6 +332,32 @@ object Multimodal {
     }
   }
 
+  /** [[decodeAndExtract]] with the production error policy: undecodable
+    * payloads (bad magic, truncated raster, unsupported variant) become
+    * QUARANTINE rows instead of failing the job — at 10^10 crawled assets
+    * some fraction is always corrupt, and one bad byte must not kill a
+    * stage. Returns (decoded, quarantine(asset_id, kind, error)). */
+  def decodeAndExtractSafe(assets: Dataset[MediaAsset])
+      : (Dataset[DecodedMeta], DataFrame) = {
+    import assets.sparkSession.implicits._
+    val attempted = assets.mapPartitions { it =>
+      it.map { a =>
+        try {
+          val d = decode(a.media)
+          (Some(DecodedMeta(a.asset_id, a.kind, d.width, d.height,
+            d.channels, d.durationMs, checksumOf(d.payload),
+            featureOf(d.payload))), None: Option[(Long, String, String)])
+        } catch {
+          case e: Exception =>
+            (None, Some((a.asset_id, a.kind, String.valueOf(e.getMessage))))
+        }
+      }
+    }.persist()
+    val ok = attempted.flatMap(_._1)
+    val bad = attempted.flatMap(_._2).toDF("asset_id", "kind", "error")
+    (ok, bad)
+  }
+
   /** REAL nearest-neighbor resize of image/video assets (audio passes
     * through): every frame is decoded, resampled so max(w,h) ≤ maxDim,
     * and re-encoded as P6 (the normalized output container). */

@@ -382,6 +382,21 @@ class OpsSpec extends AnyFunSuite {
     intercept[Exception] { Multimodal.decode(bad) }
   }
 
+  test("multimodal: quarantine path — corrupt payloads become rows, not job failures") {
+    import spark.implicits._
+    val good = Multimodal.syntheticAssets(spark, 9)
+    val bad = Seq(
+      MediaAsset(100L, "image", Array[Byte]('X', 'Y', 1, 2), "??", "s"),
+      MediaAsset(101L, "audio",
+        java.util.Arrays.copyOf(Multimodal.syntheticMedia(1, "audio"), 20),
+        "audio/wav", "s")).toDS()
+    val (ok, quarantine) =
+      Multimodal.decodeAndExtractSafe(good.unionByName(bad))
+    assert(ok.count() == 9)
+    val q = quarantine.collect().map(r => r.getLong(0)).toSet
+    assert(q == Set(100L, 101L))
+  }
+
   test("multimodal: real decode, resize, frame-sample over the synthetic corpus") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val rows = Multimodal.decodeAndExtract(assets).collect()
