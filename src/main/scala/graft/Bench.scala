@@ -180,9 +180,15 @@ object Bench {
         // tasks to feed 4 executors (default 128m → 2 splits for a 233MB
         // tail; the map side is the compute-dense JSON stage)
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        // partitions = cores × mult at BOTH levels (same tuning rule).
+        // mult 2 since r5: at quiet 8/16/24 reducers measured identical
+        // (31.1-31.3 s, r4), but under host contention the finer task
+        // granularity lets the scheduler route around stolen cores —
+        // measured 32.0-32.3 s vs 35.2-35.8 s highs in the same slow
+        // window (GapProbe mult-2 vs Bench mult-1, r5)
         .config("spark.sql.shuffle.partitions",
           sys.env.get("GRAFT_PART_FIXED").map(_.toInt).getOrElse(
-            execs * execCores * sys.env.getOrElse("GRAFT_PART_MULT", "1").toInt))
+            execs * execCores * sys.env.getOrElse("GRAFT_PART_MULT", "2").toInt))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled",
@@ -234,6 +240,16 @@ object Bench {
     // 13.7 → 21 s purely from cold executors, not host steal)
     def warmUp(s: SparkSession): Double =
       replay(s, math.min(nEvents / 20, 100000), 1, 32)
+    // HIGH sessions warm with the FULL recorded shape: the measured
+    // first-sample ramp (~3-5 s absolute, decaying only over FULL
+    // replays — growing a partial warm-up does not remove it) is 10-15%
+    // of a ~32 s high wall but ~4% of a ~105 s low wall, so a partial
+    // warm-up leaves an ASYMMETRIC bias that best-of-2 only partly sheds.
+    // A full-shape high warm costs ~32 s/session (vs ~105 s it would cost
+    // at the low level, where the relative bias is small — the 100k warm
+    // + best-of-2 stays sufficient there).
+    def warmUpFull(s: SparkSession): Double =
+      replay(s, nEvents, batches, 32)
     // Budget gates ROUND ENTRY only: an entered round always records one
     // low AND one high sample — a mid-round budget trip that recorded a
     // low-only window would bias the min-based efficiency estimator
@@ -262,6 +278,7 @@ object Bench {
         def highPhase(): Unit = {
           spark = clusterSession(4)
           warmUp(spark)
+          warmUpFull(spark)
           val mine = scala.collection.mutable.ArrayBuffer.empty[Double]
           (0 until samples).foreach { i =>
             if (i == 0 || withinBudget)
