@@ -206,22 +206,22 @@ object Bench {
     // wins; a time budget skips remaining samples rather than risking the
     // harness timeout.
     val benchT0 = System.nanoTime()
-    val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "540").toInt
-    // 2 rounds × 2 samples per level (≈105 s low / 31 s high each),
-    // BEST-OF-2 WITHIN each level-session, pairs of per-round minima:
-    // a session's FIRST measured replay runs ~3-5 s slow regardless of
-    // the 100k warm-up (driver/codegen/executor ramp decaying over
-    // several full replays — measured s1/s2/s3 = 33.3/32.6/29.8 at 4N vs
-    // 109.3/104.7 at N). That ABSOLUTE ramp is ~4% of a low wall but
-    // 10-15% of a high wall, so single-sample rounds systematically
-    // UNDER-state efficiency (r4 rehearsal medians sat at 0.74-0.80
-    // while steal-controlled interleaved probes put the quiet band at
-    // 0.85-0.89). Min-of-2 per level per round removes the first-sample
-    // ramp SYMMETRICALLY at both levels and shrugs one steal burst; the
-    // budget guard sheds the second round if the box is slow; singles
-    // run LAST on leftover budget.
-    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
-    val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "2").toInt
+    val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "620").toInt
+    // Protocol v3 (r5): 3 rounds × 1 sample per level, each level-session
+    // warmed with a FULL-shape replay first. The measured first-sample
+    // ramp (~3-5 s absolute — 10-15% of a high wall, ~4% of a low wall)
+    // decays only over FULL replays (growing a partial warm-up does not
+    // remove it, r4 measurement), so the full warm removes it at BOTH
+    // levels and a single post-warm sample per level is ramp-free; a
+    // full low warm + 1 sample costs the same as the old 100k warm +
+    // best-of-2 (≈ 210 s) while measuring strictly later in the decay.
+    // THREE paired rounds mean the median sheds one entirely-stolen
+    // round (2-round medians average the stolen round in — r5 recorded
+    // 0.755 from paired [0.673 stolen, 0.838 quiet]); the 620 s entry
+    // budget admits round 3 when the host is fast enough (~300 s/round)
+    // and self-limits to 2 rounds when it is slow.
+    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
+    val samples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "1").toInt
     def withinBudget: Boolean =
       (System.nanoTime() - benchT0) / 1e9 < budgetSecs
     val lows = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -240,14 +240,7 @@ object Bench {
     // 13.7 → 21 s purely from cold executors, not host steal)
     def warmUp(s: SparkSession): Double =
       replay(s, math.min(nEvents / 20, 100000), 1, 32)
-    // HIGH sessions warm with the FULL recorded shape: the measured
-    // first-sample ramp (~3-5 s absolute, decaying only over FULL
-    // replays — growing a partial warm-up does not remove it) is 10-15%
-    // of a ~32 s high wall but ~4% of a ~105 s low wall, so a partial
-    // warm-up leaves an ASYMMETRIC bias that best-of-2 only partly sheds.
-    // A full-shape high warm costs ~32 s/session (vs ~105 s it would cost
-    // at the low level, where the relative bias is small — the 100k warm
-    // + best-of-2 stays sufficient there).
+    // ... then a FULL-shape warm replay (protocol v3 — see sampling note)
     def warmUpFull(s: SparkSession): Double =
       replay(s, nEvents, batches, 32)
     // Budget gates ROUND ENTRY only: an entered round always records one
@@ -266,6 +259,7 @@ object Bench {
           spark = clusterSession(1)
           val w = warmUp(spark)
           if (round == 0) warm = w
+          warmUpFull(spark)
           val mine = scala.collection.mutable.ArrayBuffer.empty[Double]
           (0 until samples).foreach { i =>
             if (i == 0 || withinBudget)
