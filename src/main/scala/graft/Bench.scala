@@ -206,7 +206,7 @@ object Bench {
     // wins; a time budget skips remaining samples rather than risking the
     // harness timeout.
     val benchT0 = System.nanoTime()
-    val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "620").toInt
+    val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "660").toInt
     // Protocol v3 (r5): 3 rounds × 1 sample per level, each level-session
     // warmed with a FULL-shape replay first. The measured first-sample
     // ramp (~3-5 s absolute — 10-15% of a high wall, ~4% of a low wall)
