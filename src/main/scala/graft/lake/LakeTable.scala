@@ -135,7 +135,27 @@ final class LakeTable(val spark: SparkSession, val root: String,
   def snapshot(): Snapshot = {
     val v = currentVersion()
     require(v > 0, s"lake table $name does not exist at $dir")
-    readSnapshot(snapDir.resolve(f"v$v%05d.json"), v)
+    cachedSnapshot(v)
+  }
+
+  /** Version-keyed parsed-snapshot cache: a published vNNNNN.json is
+    * IMMUTABLE (create-exclusive publish — a version is never rewritten),
+    * so caching its parse can never go stale; freshness comes from
+    * re-reading `currentVersion()` (one dir listing) per call. A
+    * micro-batch reads each table's snapshot several times (merge entry,
+    * bucket layout, commit) across 7+ tables — re-parsing the JSON each
+    * time was measurable driver-serial cost per batch. */
+  private def cachedSnapshot(v: Int): Snapshot = {
+    val key = (pinKey, v)
+    val hit = LakeTable.snapCache.get(key)
+    if (hit != null) hit
+    else {
+      val s = readSnapshot(snapDir.resolve(f"v$v%05d.json"), v)
+      if (LakeTable.snapCache.size() >= LakeTable.MaxSnapCache)
+        LakeTable.snapCache.clear() // crude, bounded; rebuilt on demand
+      LakeTable.snapCache.put(key, s)
+      s
+    }
   }
 
   def snapshotOpt(): Option[Snapshot] =
@@ -148,8 +168,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
     else listDir(snapDir).map(versionOf).filter(_ > 0).sorted
 
   /** Time-travel: the snapshot at `version` (must still be retained). */
-  def snapshotAt(version: Int): Snapshot =
-    readSnapshot(snapDir.resolve(f"v$version%05d.json"), version)
+  def snapshotAt(version: Int): Snapshot = cachedSnapshot(version)
 
   private def readSnapshot(p: Path, v: Int): Snapshot = {
     val o = Json.parse(Files.readString(p)).asInstanceOf[JObj]
@@ -909,6 +928,12 @@ object LakeTable {
     * cuts) — see [[LakeTable.pinSnapshot]]. */
   private val pinnedVs =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Int]]()
+
+  /** Process-wide parsed-snapshot cache keyed by (table dir, version) —
+    * safe because published snapshot files are immutable. */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Snapshot]()
+  private val MaxSnapCache = 512
 
   /** One table's share of a multi-table commit (see [[mergeAll]]). */
   final case class TableMerge(
