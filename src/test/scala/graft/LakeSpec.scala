@@ -60,6 +60,21 @@ class LakeSpec extends AnyFunSuite {
     assert(t.readWhere(col("ID") === "k0" && col("V") === "nope").count() == 0)
   }
 
+  test("readWhere: complex and unsupported predicates stay correct via fallback") {
+    val t = newTable()
+    val keys = (0 until 16).map(i => s"p$i")
+    t.merge(df(keys.map(k => k -> k.toUpperCase): _*), Seq("ID"), "ID", "c1")
+    // unsupported shapes fall back to an unpruned (correct) scan
+    assert(t.readWhere(col("ID").startsWith("p1")).count() ==
+      keys.count(_.startsWith("p1")))
+    assert(t.readWhere(lower(col("ID")) === "p4").count() == 1)
+    // OR with a non-key side must NOT prune to the key side's buckets
+    assert(t.readWhere(col("ID") === "p3" || col("V") === "P5").count() == 2)
+    // conjunction narrows: IN ∧ ≠ still returns the right rows
+    assert(t.readWhere(
+      col("ID").isin("p1", "p2", "p3") && col("ID") =!= "p2").count() == 2)
+  }
+
   test("readWhere: NON-STRING root key disables pruning, rows stay correct") {
     // the persisted layout hashes the key in its native type while the
     // driver-side bucketOfKey replica hashes a string rendering — for a

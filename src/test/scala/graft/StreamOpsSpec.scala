@@ -87,6 +87,23 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("lsn")).toSet == Set(1L, 3L, 5L))
   }
 
+  test("dedupeStream: guards — missing ts column and content_sha collision fail fast") {
+    import spark.implicits._
+    val noTs = Seq(("x", 1L)).toDF("doc", "lsn")
+    val e1 = intercept[IllegalArgumentException] {
+      StreamOps.dedupeStream(noTs, "doc")
+    }
+    assert(e1.getMessage.contains("event-time column"))
+    // a pre-existing content_sha column must not be silently overwritten
+    // (ADVICE r4: corrupting caller data downstream)
+    val collide = Seq(("x", new java.sql.Timestamp(0L), "SHADOW"))
+      .toDF("doc", "ts", "content_sha")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamOps.dedupeStream(collide, "doc")
+    }
+    assert(e2.getMessage.contains("content_sha"))
+  }
+
   test("sessionize: flatMapGroupsWithState closes sessions on gap") {
     val in = MemoryStream[ChangeEvent](spark)
     val q = StreamOps.sessionize(in.toDF(), gapMs = 30000L,
