@@ -312,6 +312,28 @@ class EngineSpec extends AnyFunSuite {
       "repo-a|src/f2.scala|c1" -> "v0 content a2"))
   }
 
+  test("struct-native bootstrap works on an ANSI session (lenient casts explicit)") {
+    import java.sql.Timestamp
+    val before = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val snapshot = Seq(
+        ("r1", "f1", "c1", "scala", "body", "123", "2024-01-02"),
+        ("r2", "f2", "c2", "py", "body2", "456", "not-a-date"),
+      ).toDF("repo", "path", "commit", "lang", "content", "numstr", "mixed")
+      val (e, _) = newEngine()
+      val s = e.bootstrap("bansi", snapshot, Seq("repo", "path", "commit"),
+        "b:1", bootstrapLsn = 5L)
+      assert(s.dedupedDocs == 2)
+      val rows = readTable(e, "bansi", "bansi").orderBy("ID").collect()
+      assert(rows.length == 2)
+      // mixed string/date column widened to string, read intact
+      assert(rows.map(_.getAs[String]("MIXED")).toSet ==
+        Set("2024-01-02", "not-a-date"))
+      assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    } finally spark.conf.set("spark.sql.ansi.enabled", before)
+  }
+
   test("struct-native bootstrap ≡ JSON-path bootstrap: same catalog, same rows") {
     import java.sql.Timestamp
     // mixed-type snapshot exercising every classification branch:

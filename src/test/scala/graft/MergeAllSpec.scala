@@ -62,6 +62,35 @@ class MergeAllSpec extends AnyFunSuite {
     assert(b.read().filter(col("ID") === "b1").head().getLong(2) == 70L)
   }
 
+  test("two concurrent multi-table writers: every commit lands on both tables") {
+    // the mergeAll commit path goes through the same create-exclusive
+    // publish + retry as single-table merges — race two union commits
+    val (root, a, b) = mkTables()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val nPer = 4
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try (0 until nPer).foreach { i =>
+          LakeTable.mergeAll(root, Seq(
+            TableMerge(new LakeTable(spark, root, "A", 4, 3),
+              dfA(s"w$w-k$i" -> s"va$w-$i"), Seq("ID"), "ID"),
+            TableMerge(new LakeTable(spark, root, "B", 4, 3),
+              dfB((s"i$w-$i", s"w$w-k$i", i.toLong)), Seq("FK", "ID"), "FK")),
+            s"mw$w:c$i")
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    val tags = (for (w <- 0 until 2; i <- 0 until nPer) yield s"mw$w:c$i").toSet
+    Seq(a, b).foreach { t =>
+      val commits = t.snapshot().commits.toSet
+      assert(tags.subsetOf(commits), s"${t.name} lost: ${tags -- commits}")
+    }
+    assert(a.read().count() == 2L * nPer)
+    assert(b.read().count() == 2L * nPer)
+  }
+
   test("exactly-once: full re-commit is a no-op; PARTIAL recovery skips committed tables") {
     val (root, a, b) = mkTables()
     LakeTable.mergeAll(root, Seq(
