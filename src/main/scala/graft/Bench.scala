@@ -193,6 +193,17 @@ object Bench {
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled",
           sys.env.getOrElse("GRAFT_BENCH_AQE", "false"))
+        // Straggler mitigation for stolen-core hosts: re-launch a task
+        // running 1.5x past the 75th percentile of its stage. On a real
+        // cluster this is the standard defense against slow nodes; here
+        // it routes around host CPU steal pinning one executor's core.
+        // Write-safe: task commits go through the OutputCommitCoordinator,
+        // so a speculative duplicate never double-commits part files.
+        .config("spark.speculation",
+          sys.env.getOrElse("GRAFT_BENCH_SPECULATION", "false"))
+        .config("spark.speculation.interval", "200ms")
+        .config("spark.speculation.quantile", "0.75")
+        .config("spark.speculation.multiplier", "1.5")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("ERROR")

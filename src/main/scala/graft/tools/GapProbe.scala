@@ -35,6 +35,11 @@ object GapProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.speculation",
+        sys.env.getOrElse("GRAFT_BENCH_SPECULATION", "false"))
+      .config("spark.speculation.interval", "200ms")
+      .config("spark.speculation.quantile", "0.75")
+      .config("spark.speculation.multiplier", "1.5")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
