@@ -70,23 +70,70 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
 
   def loadRegistry(entity: String): Option[Attr] = {
     val d = registryDir(entity)
-    if (!Files.isDirectory(d)) None
+    val cached = Engine.registryCache.get(d.toString)
+    if (cached != null) Some(Infer.fromJson(Json.parse(cached._2)))
+    else if (!Files.isDirectory(d)) None
     else {
       val latest = newestRegistryVersion(d)
       if (latest == 0) None
-      else Some(Infer.fromJson(Json.parse(
-        Files.readString(d.resolve(f"v$latest%05d.json")))))
+      else {
+        val json = Files.readString(d.resolve(f"v$latest%05d.json"))
+        Engine.registryCache.put(d.toString, (latest, json))
+        Some(Infer.fromJson(Json.parse(json)))
+      }
     }
   }
 
+  /** Persist the widened tree as the next registry version — but ONLY when
+    * it actually changed (VERDICT r5 #2: a steady-state stream must leave
+    * O(schema-changes) registry files, not O(batches)). The newest
+    * version's rendered JSON is cached in-memory per registry dir (one
+    * writer per entity — the streaming driver), so a steady-state batch
+    * costs zero registry IO; a cold process compares against the on-disk
+    * newest once and caches it. */
   private def saveRegistry(entity: String, tree: Attr): Unit = {
     val d = registryDir(entity)
+    val json = Json.render(Infer.toJson(tree))
+    val cached = Engine.registryCache.get(d.toString)
+    val prior: Option[(Int, String)] =
+      if (cached != null) Some(cached)
+      else if (!Files.isDirectory(d)) None
+      else {
+        val latest = newestRegistryVersion(d)
+        if (latest == 0) None
+        else Some((latest, Files.readString(d.resolve(f"v$latest%05d.json"))))
+      }
+    if (prior.exists(_._2 == json)) {
+      prior.foreach(p => Engine.registryCache.put(d.toString, p))
+      return // unchanged tree: no new version
+    }
     Files.createDirectories(d)
-    val latest = newestRegistryVersion(d)
-    val tmp = d.resolve(f".tmp-v${latest + 1}%05d.json")
-    Files.writeString(tmp, Json.render(Infer.toJson(tree)))
-    Files.move(tmp, d.resolve(f"v${latest + 1}%05d.json"),
+    val next = prior.map(_._1).getOrElse(0) + 1
+    val tmp = d.resolve(f".tmp-v$next%05d.json")
+    Files.writeString(tmp, json)
+    Files.move(tmp, d.resolve(f"v$next%05d.json"),
       StandardCopyOption.ATOMIC_MOVE)
+    Engine.registryCache.put(d.toString, (next, json))
+  }
+
+  /** Delete all but the newest `keep` registry versions of an entity —
+    * run from [[maintain]] alongside snapshot vacuum. Old versions exist
+    * only as manual-recovery history (readers always load the newest). */
+  def pruneRegistry(entity: String, keep: Int = 8): Int = {
+    val d = registryDir(entity)
+    if (!Files.isDirectory(d)) return 0
+    val versions = {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(_.stripPrefix("v").stripSuffix(".json").toInt)
+        .toList
+      finally s.close()
+    }.sorted
+    val stale = versions.dropRight(math.max(1, keep))
+    stale.foreach(v => Files.deleteIfExists(d.resolve(f"v$v%05d.json")))
+    stale.size
   }
 
   /** Distributed schema inference: per-partition fold into an attribute
@@ -150,6 +197,7 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
         }
       }
     }
+    pruneRegistry(entity)
     // GC shared multi-table commit dirs no table references any more
     // (compaction rewrites buckets into per-table base segments, after
     // which a whole batch's shared dir usually drops out of every live set)
@@ -783,8 +831,37 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
         // choose-pin-verify loop (VERDICT r4 #8): a vacuum running between
         // cut selection and the pin could GC the cut's superseded segments
         // — pin first, then verify every chosen snapshot is still fully on
-        // disk; a torn cut unpins and re-chooses on the fresh log head
+        // disk; a torn cut unpins and re-chooses on the fresh log head.
+        // TERMINATION (ADVICE r5 #2): a cut whose segments were vacuumed
+        // BEFORE it was ever pinned re-derives identically from the
+        // unchanged log and can never become readable — when the same torn
+        // cut (or any torn cut, after a retry bound) comes back, degrade
+        // to the tables' CURRENT snapshots, which are always materialized
+        // (vacuum never deletes current segments).
         var out: Option[Seq[String]] = None
+        var lastTorn: Set[(String, Int)] = null
+        var attempts = 0
+        def pinAndRegister(
+            chosen: Seq[(TableSpec, LakeTable, graft.lake.Snapshot)],
+            force: Boolean): Boolean = {
+          chosen.foreach { case (_, l, snap) => l.pinSnapshot(snap.version) }
+          if (force ||
+            chosen.forall { case (_, l, snap) => l.materialized(snap) }) {
+            out = Some(chosen.map { case (t, l, snap) =>
+              val name = s"$prefix${t.fullName}"
+              l.readAt(snap).createOrReplaceTempView(name)
+              name
+            })
+            // release the PREVIOUS cut only after the new one is pinned
+            val prev = viewPins.put(entity,
+              chosen.map { case (_, l, snap) => (l, snap.version) })
+            if (prev != null) prev.foreach { case (l, v) => l.unpinSnapshot(v) }
+            true
+          } else {
+            chosen.foreach { case (_, l, snap) => l.unpinSnapshot(snap.version) }
+            false
+          }
+        }
         while (out.isEmpty) {
           val snaps = live.map { case (t, l) => (t, l, l.snapshot()) }
           val common = snaps.map(_._3.commits.toSet).reduce(_ intersect _)
@@ -803,20 +880,14 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
             }
             (t, l, snap)
           }
-          chosen.foreach { case (_, l, snap) => l.pinSnapshot(snap.version) }
-          if (chosen.forall { case (_, l, snap) => l.materialized(snap) }) {
-            out = Some(chosen.map { case (t, l, snap) =>
-              val name = s"$prefix${t.fullName}"
-              l.readAt(snap).createOrReplaceTempView(name)
-              name
-            })
-            // release the PREVIOUS cut only after the new one is pinned
-            val prev = viewPins.put(entity,
-              chosen.map { case (_, l, snap) => (l, snap.version) })
-            if (prev != null) prev.foreach { case (l, v) => l.unpinSnapshot(v) }
-          } else chosen.foreach { case (_, l, snap) =>
-            l.unpinSnapshot(snap.version)
-          }
+          val key = chosen
+            .map { case (t, _, snap) => (t.fullName, snap.version) }.toSet
+          attempts += 1
+          if ((lastTorn != null && lastTorn == key) || attempts > 16)
+            // unreadable-forever cut (or pathological churn): current state
+            pinAndRegister(snaps, force = true)
+          else if (!pinAndRegister(chosen, force = false))
+            lastTorn = key
         }
         out.get
       }
@@ -828,4 +899,16 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     val prev = viewPins.remove(entity)
     if (prev != null) prev.foreach { case (l, v) => l.unpinSnapshot(v) }
   }
+}
+
+object Engine {
+  /** Process-wide newest-registry cache per registry dir: (version,
+    * rendered JSON). Single-writer per entity (the streaming driver), so
+    * the cache can never publish a stale tree to its own writer; a fresh
+    * process falls back to the on-disk newest. */
+  private val registryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, String)]()
+
+  /** Test hook: simulate a process restart (cold registry cache). */
+  private[graft] def clearRegistryCache(): Unit = registryCache.clear()
 }

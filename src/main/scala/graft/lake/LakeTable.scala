@@ -470,14 +470,23 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val target = withMeta(s.schema)
     if (live.isEmpty) emptyDf(target)
     else {
-      // group by (schema version, nesting): each group reads with its
-      // written schema, then aligns to the current one (additive evolution
-      // ⇒ cast-safe). Multi-table-commit segments (sub nonEmpty) carry the
-      // table's rows under one struct field — request ONLY that struct
-      // (nested-schema pruning: other tables' null structs are never read)
-      // and unwrap it.
-      val parts = live.groupBy(seg => (seg.schemaVer, seg.sub)).toSeq
-        .sortBy(_._1).map { case ((ver, sub), segs) =>
+      // Commit-domain DELTA rows take their visibility seq from the SEGMENT
+      // metadata, not the parquet: a collision-retried commit re-stamps only
+      // the segment seq (the files keep the losing attempt's stale value),
+      // and all rows of one commit-domain delta share one seq by
+      // construction — so the committed seq is authoritative (ADVICE r5).
+      // Lsn-domain rows keep their per-row event seq; base segments carry
+      // per-row seqs persisted from an (already-corrected) resolution.
+      def segSeq(seg: Segment): Long =
+        if (s.seqDomain == "commit" && seg.kind == "delta") seg.seq else -1L
+      // group by (schema version, nesting, override seq): each group reads
+      // with its written schema, then aligns to the current one (additive
+      // evolution ⇒ cast-safe). Multi-table-commit segments (sub nonEmpty)
+      // carry the table's rows under one struct field — request ONLY that
+      // struct (nested-schema pruning: other tables' null structs are never
+      // read) and unwrap it.
+      val parts = live.groupBy(seg => (seg.schemaVer, seg.sub, segSeq(seg)))
+        .toSeq.sortBy(_._1).map { case ((ver, sub, ovSeq), segs) =>
           val written = withMeta(s.schemas(ver))
           val paths = segs.map(seg => dir.resolve(seg.path).toString)
           val df =
@@ -487,7 +496,9 @@ final class LakeTable(val spark: SparkSession, val root: String,
                 org.apache.spark.sql.types.StructField(sub, written))))
               .parquet(paths: _*)
               .select(col(s"$sub.*"))
-          align(df, target)
+          val stamped =
+            if (ovSeq < 0) df else df.withColumn(SeqCol, lit(ovSeq))
+          align(stamped, target)
         }
       parts.reduce(_ unionByName _)
     }
@@ -597,12 +608,21 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val s = snapshot()
     if (s.hasCommit(commitTag)) return s // idempotent re-commit
     val up = prepareDelta(s, updates, rootKeyCol, deleteRootKeys, rowSeqCol)
+    val (deltaSegs, upserted, deleted) = writeDelta(s, up)
+    commitDelta(s, commitTag, keyCols, rootKeyCol, deltaSegs,
+      upserted, deleted, t0, if (rowSeqCol.isDefined) "lsn" else "commit")
+  }
+
+  /** Write one merge's prepared delta frame as parquet (the data half of
+    * [[merge]], metadata untouched): ONE scan, ONE write — every row
+    * (upserts + tombstones, all buckets) appends as delta; touched buckets
+    * and counts ride on an Observation of the same query, no separate
+    * pre-scan job, nothing persisted. Returns (segments, upserted,
+    * deleted). */
+  private[lake] def writeDelta(s: Snapshot,
+      up: DataFrame): (Seq[Segment], Long, Long) = {
     val nb = bucketsOf(s)
     val ver = s.version + 1
-
-    // ONE scan, ONE write: every row (upserts + tombstones, all buckets)
-    // appends as delta; touched buckets and counts ride on an Observation
-    // of the same query — no separate pre-scan job, nothing persisted
     val obs = org.apache.spark.sql.Observation()
     // unique dir per writer: two concurrent mergers at the same version
     // must never share (and clobber) one commit dir
@@ -629,8 +649,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       Segment(dir.relativize(Paths.get(p)).toString, b, s.schemaVer,
         "delta", ver.toLong)
     }
-    commitDelta(s, commitTag, keyCols, rootKeyCol, deltaSegs,
-      upserted, deleted, t0, if (rowSeqCol.isDefined) "lsn" else "commit")
+    (deltaSegs, upserted, deleted)
   }
 
   /** Build the meta-carrying delta frame of one merge (aligned upserts ∪
@@ -863,11 +882,13 @@ final class LakeTable(val spark: SparkSession, val root: String,
     * that write (the Iceberg remove-orphan-files default, same reason). */
   def vacuum(keepSnapshots: Int = 10, graceMs: Long = 600000L): Int = {
     val s = snapshot()
-    val pins = pinnedVersions()
+    var pins = pinnedVersions()
     // liveness = current snapshot ∪ every PINNED snapshot still readable
     // (a registered consistent-view cut must stay queryable, VERDICT r4 #8)
-    val live: Set[Path] = (s.segments ++ pinnedSnapshots().flatMap(_.segments))
-      .map(seg => dir.resolve(seg.path).getParent.normalize()).toSet
+    def liveSet(): Set[Path] =
+      (s.segments ++ pinnedSnapshots().flatMap(_.segments))
+        .map(seg => dir.resolve(seg.path).getParent.normalize()).toSet
+    var live = liveSet()
     val dataDir = dir.resolve("data")
     val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
@@ -877,8 +898,17 @@ final class LakeTable(val spark: SparkSession, val root: String,
           !s.segments.exists(seg =>
             dir.resolve(seg.path).normalize().startsWith(c.normalize())) &&
           Files.getLastModifiedTime(c).toMillis < cutoff) {
-          deleteTree(c)
-          removed += 1
+          // re-read pins IMMEDIATELY before the delete (ADVICE r5 #3): a
+          // pin taken and verified after the initial read would otherwise
+          // lose its segments during vacuum's own runtime; the remaining
+          // window is a few µs, and the pinner's materialized() re-check
+          // (pin-then-verify) catches even that
+          val nowPins = pinnedVersions()
+          if (nowPins != pins) { pins = nowPins; live = liveSet() }
+          if (!live.contains(c.normalize())) {
+            deleteTree(c)
+            removed += 1
+          }
         }
       }
     }

@@ -264,6 +264,13 @@ object Multimodal {
     while (off + 8 <= media.length && (data == null || channels == 0)) {
       val id = new String(media, off, 4, "US-ASCII")
       val len = leInt(media, off + 4)
+      // a corrupt/adversarial length field must THROW, not hang: a
+      // negative len (e.g. -8) would stall the walk forever, pinning an
+      // executor core that decodeAndExtractSafe's quarantine can never
+      // reach (ADVICE r5 #4); off below always advances by ≥ 8 once
+      // len ≥ 0 is established
+      require(len >= 0 && len <= media.length,
+        s"corrupt WAV chunk '$id': length $len")
       id match {
         case "fmt " =>
           require(leShort(media, off + 8) == 1, "unsupported WAV: not PCM")
@@ -336,9 +343,12 @@ object Multimodal {
     * payloads (bad magic, truncated raster, unsupported variant) become
     * QUARANTINE rows instead of failing the job — at 10^10 crawled assets
     * some fraction is always corrupt, and one bad byte must not kill a
-    * stage. Returns (decoded, quarantine(asset_id, kind, error)). */
+    * stage. Returns (decoded, quarantine(asset_id, kind, error), release):
+    * the decode attempt is cached so the two outputs share one decode
+    * pass — call `release()` once both are consumed, or the cached blocks
+    * live for the session (ADVICE r5 #5). */
   def decodeAndExtractSafe(assets: Dataset[MediaAsset])
-      : (Dataset[DecodedMeta], DataFrame) = {
+      : (Dataset[DecodedMeta], DataFrame, () => Unit) = {
     import assets.sparkSession.implicits._
     val attempted = assets.mapPartitions { it =>
       it.map { a =>
@@ -355,7 +365,7 @@ object Multimodal {
     }.persist()
     val ok = attempted.flatMap(_._1)
     val bad = attempted.flatMap(_._2).toDF("asset_id", "kind", "error")
-    (ok, bad)
+    (ok, bad, () => { attempted.unpersist(); () })
   }
 
   /** REAL nearest-neighbor resize of image/video assets (audio passes

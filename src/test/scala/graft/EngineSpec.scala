@@ -664,4 +664,51 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(before == after)
   }
+
+  test("registry growth: steady-state batches add zero versions; restart loads newest; maintain prunes") {
+    // VERDICT r5 #2: at 10^6 micro-batches the registry dir must hold
+    // O(schema-changes) files, not O(batches)
+    val (e, root) = newEngine()
+    // fixed-width ids/revs/content so the widened tree is IDENTICAL
+    // across batches (maxLength is part of the tree)
+    def doc(i: Int, extra: Boolean = false) = {
+      val x = if (extra) ""","extra":7""" else ""
+      f"""{"id":"d$i%04d","rev":"r$i%04d","content":"cccc"$x}"""
+    }
+    def nVersions = {
+      val d = java.nio.file.Paths.get(root, "_registry_regrow")
+      if (!java.nio.file.Files.isDirectory(d)) 0
+      else {
+        val s = java.nio.file.Files.list(d)
+        try s.iterator().asScala.count { p =>
+          val n = p.getFileName.toString
+          n.startsWith("v") && n.endsWith(".json")
+        } finally s.close()
+      }
+    }
+    (0 until 20).foreach { i =>
+      e.load("regrow", Seq(doc(i)).toDF("doc"), "doc", s"t:$i")
+    }
+    assert(nVersions == 1, "20 same-schema batches must leave ONE version")
+    // a new field evolves the tree: exactly one more version
+    e.load("regrow", Seq(doc(100, extra = true)).toDF("doc"), "doc", "t:x")
+    assert(nVersions == 2)
+    (21 until 26).foreach { i =>
+      e.load("regrow", Seq(doc(i, extra = true)).toDF("doc"), "doc", s"t:$i")
+    }
+    assert(nVersions == 2)
+    // restart (cold cache): the newest tree — with the evolved column —
+    // loads from disk
+    Engine.clearRegistryCache()
+    val e2 = new Engine(spark, root, numBuckets = 8)
+    val spec2 = Catalog.fromTree(e2.loadRegistry("regrow").get)
+      .find(_.isRoot).get
+    assert(spec2.columns.exists(_.sqlName == "EXTRA"))
+    // maintain-time pruning keeps the newest K
+    assert(e2.pruneRegistry("regrow", keep = 1) == 1)
+    assert(nVersions == 1)
+    Engine.clearRegistryCache()
+    assert(Catalog.fromTree(e2.loadRegistry("regrow").get)
+      .find(_.isRoot).get.columns.exists(_.sqlName == "EXTRA"))
+  }
 }

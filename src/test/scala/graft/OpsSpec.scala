@@ -390,11 +390,22 @@ class OpsSpec extends AnyFunSuite {
       MediaAsset(101L, "audio",
         java.util.Arrays.copyOf(Multimodal.syntheticMedia(1, "audio"), 20),
         "audio/wav", "s")).toDS()
-    val (ok, quarantine) =
+    val (ok, quarantine, release) =
       Multimodal.decodeAndExtractSafe(good.unionByName(bad))
     assert(ok.count() == 9)
     val q = quarantine.collect().map(r => r.getLong(0)).toSet
     assert(q == Set(100L, 101L))
+    release() // both outputs consumed: drop the shared decode cache
+  }
+
+  test("multimodal: corrupt WAV chunk length throws (quarantinable), never hangs") {
+    // a negative chunk len would freeze the walk (off += 8 + len + pad);
+    // the guard must surface it as an exception the quarantine path catches
+    val wav = Multimodal.syntheticMedia(1, "audio").clone()
+    // RIFF(12) then "fmt " chunk: poison its length field to -8
+    wav(16) = (-8).toByte; wav(17) = -1; wav(18) = -1; wav(19) = -1
+    val ex = intercept[IllegalArgumentException] { Multimodal.decode(wav) }
+    assert(ex.getMessage.contains("corrupt WAV chunk"))
   }
 
   test("multimodal: real decode, resize, frame-sample over the synthetic corpus") {
