@@ -1,7 +1,6 @@
 package graft.engine
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -53,31 +52,30 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
 
   // ---------- schema registry (persisted widened tree per entity) ----------
 
-  private def registryDir(entity: String) =
-    Paths.get(lakeRoot, s"_registry_$entity")
+  // same FileSystem routing as the lake control plane (VERDICT r5 #1):
+  // the registry and metrics live beside the tables on whatever FS the
+  // lake root's scheme resolves to
+  private val fio = new graft.lake.Fio(spark.sessionState.newHadoopConf())
 
-  /** Newest vNNNNN.json version in a registry dir, stream closed (leaking
-    * a directory fd per micro-batch would exhaust the limit between GCs). */
-  private def newestRegistryVersion(d: java.nio.file.Path): Int = {
-    val s = Files.list(d)
-    try s.iterator().asScala
-      .map(_.getFileName.toString)
+  private def registryDir(entity: String): HPath =
+    fio.qualify(new HPath(new HPath(lakeRoot), s"_registry_$entity"))
+
+  /** Newest vNNNNN.json version in a registry dir (0 when absent). */
+  private def newestRegistryVersion(d: HPath): Int =
+    fio.list(d).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(_.stripPrefix("v").stripSuffix(".json").toInt)
       .foldLeft(0)(math.max)
-    finally s.close()
-  }
 
   def loadRegistry(entity: String): Option[Attr] = {
     val d = registryDir(entity)
     val cached = Engine.registryCache.get(d.toString)
     if (cached != null) Some(Infer.fromJson(Json.parse(cached._2)))
-    else if (!Files.isDirectory(d)) None
     else {
       val latest = newestRegistryVersion(d)
       if (latest == 0) None
       else {
-        val json = Files.readString(d.resolve(f"v$latest%05d.json"))
+        val json = fio.readString(new HPath(d, f"v$latest%05d.json"))
         Engine.registryCache.put(d.toString, (latest, json))
         Some(Infer.fromJson(Json.parse(json)))
       }
@@ -97,22 +95,18 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     val cached = Engine.registryCache.get(d.toString)
     val prior: Option[(Int, String)] =
       if (cached != null) Some(cached)
-      else if (!Files.isDirectory(d)) None
       else {
         val latest = newestRegistryVersion(d)
         if (latest == 0) None
-        else Some((latest, Files.readString(d.resolve(f"v$latest%05d.json"))))
+        else Some((latest, fio.readString(new HPath(d, f"v$latest%05d.json"))))
       }
     if (prior.exists(_._2 == json)) {
       prior.foreach(p => Engine.registryCache.put(d.toString, p))
       return // unchanged tree: no new version
     }
-    Files.createDirectories(d)
+    fio.mkdirs(d)
     val next = prior.map(_._1).getOrElse(0) + 1
-    val tmp = d.resolve(f".tmp-v$next%05d.json")
-    Files.writeString(tmp, json)
-    Files.move(tmp, d.resolve(f"v$next%05d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    fio.writeAtomic(new HPath(d, f"v$next%05d.json"), json)
     Engine.registryCache.put(d.toString, (next, json))
   }
 
@@ -121,18 +115,13 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     * only as manual-recovery history (readers always load the newest). */
   def pruneRegistry(entity: String, keep: Int = 8): Int = {
     val d = registryDir(entity)
-    if (!Files.isDirectory(d)) return 0
-    val versions = {
-      val s = Files.list(d)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .map(_.stripPrefix("v").stripSuffix(".json").toInt)
-        .toList
-      finally s.close()
-    }.sorted
+    val versions = fio.list(d).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toInt)
+      .sorted
     val stale = versions.dropRight(math.max(1, keep))
-    stale.foreach(v => Files.deleteIfExists(d.resolve(f"v$v%05d.json")))
+    stale.foreach(v =>
+      fio.delete(new HPath(d, f"v$v%05d.json"), recursive = false))
     stale.size
   }
 
@@ -543,8 +532,8 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     * (the exactly-once ledger is the lake's commit tags + lineage).
     * Caller-supplied strings go through the Json writer (a quote or
     * backslash in a query name must not corrupt the log — ADVICE r3).
-    * Assumes `lakeRoot` is a local-FS path, like the snapshot log itself
-    * (a DFS deployment swaps both for the Hadoop FS API together). */
+    * Routed through the lake's FileSystem: kernel O_APPEND locally,
+    * native append on HDFS. */
   private def appendMetrics(entity: String, queryName: String,
       batchId: Long, s: ApplyStats, wallMs: Long): Unit = {
     import graft.schema.{JNum, JObj, JStr}
@@ -558,11 +547,8 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       "skippedUnchanged" -> JNum(s.skippedUnchanged.toString),
       "tables" -> JNum(s.tables.toString),
       "wallMs" -> JNum(wallMs.toString)))) + "\n"
-    Files.write(Paths.get(lakeRoot, s"_metrics_$entity.jsonl"),
-      line.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
-    ()
+    fio.append(new HPath(new HPath(lakeRoot), s"_metrics_$entity.jsonl"),
+      line)
   }
 
   /** Bootstrap from a TABLE SNAPSHOT (the north rule's input shape — an

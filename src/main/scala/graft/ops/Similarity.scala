@@ -219,10 +219,15 @@ object Similarity {
     cents
   }
 
+  // sidecars ride the same Hadoop FileSystem as the index parquet
+  // (VERDICT r5 #1): an index at hdfs:/... keeps its manifest beside it
+  private def sidecarIo(): graft.lake.Fio =
+    new graft.lake.Fio(org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf())
   private def centroidsFile(path: String) =
-    java.nio.file.Paths.get(path, "_ivf_centroids.csv")
+    new org.apache.hadoop.fs.Path(path, "_ivf_centroids.csv")
   private def cellsFile(path: String) =
-    java.nio.file.Paths.get(path, "_ivf_cells.csv")
+    new org.apache.hadoop.fs.Path(path, "_ivf_cells.csv")
 
   /** One final cell of an IVF layout: its partition id, the parent
     * centroid it belongs to, and its row count (the build-time balance
@@ -291,9 +296,10 @@ object Similarity {
       // after the parquet write: overwrite mode clears the directory first
       val finCounts = fin.groupBy("cell").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      java.nio.file.Files.writeString(centroidsFile(path),
+      val io = sidecarIo()
+      io.writeString(centroidsFile(path),
         cents.map(_.mkString(",")).mkString("\n"))
-      java.nio.file.Files.writeString(cellsFile(path),
+      io.writeString(cellsFile(path),
         layout.flatMap { case (p, _, s, m) =>
           (0 until m).map(i =>
             s"${s + i},$p,${finCounts.getOrElse(s + i, 0L)}")
@@ -302,19 +308,21 @@ object Similarity {
   }
 
   def readIvfCentroids(path: String): Array[Array[Float]] =
-    java.nio.file.Files.readString(centroidsFile(path))
+    sidecarIo().readString(centroidsFile(path))
       .split("\n").map(_.split(",").map(_.toFloat))
 
   /** The layout's cell manifest; a legacy layout (no sidecar) is the
     * 1-cell-per-centroid identity with unknown counts. */
-  def readIvfCells(path: String): Seq[IvfCell] =
-    if (!java.nio.file.Files.exists(cellsFile(path)))
+  def readIvfCells(path: String): Seq[IvfCell] = {
+    val io = sidecarIo()
+    if (!io.exists(cellsFile(path)))
       readIvfCentroids(path).indices.map(i => IvfCell(i, i, -1L))
-    else java.nio.file.Files.readString(cellsFile(path))
+    else io.readString(cellsFile(path))
       .split("\n").filter(_.nonEmpty).toSeq.map { l =>
         val p = l.split(",")
         IvfCell(p(0).toInt, p(1).toInt, p(2).toLong)
       }
+  }
 
   /** Largest final-cell fraction of the layout (balance report; 0 when
     * the manifest has no counts). */

@@ -393,4 +393,43 @@ class LakeSpec extends AnyFunSuite {
     assert(t.read().collect().head.getString(1) == "1")
     assert(t.snapshot().commits == Seq("c1"))
   }
+
+  test("control plane runs against a NON-DEFAULT FileSystem (graftfs scheme)") {
+    // VERDICT r5 #1: the snapshot log, data segments, registry and
+    // vacuum must all route through the Hadoop FS API — here via a
+    // registered non-file scheme, which also forces Fio's generic DFS
+    // branch (tmp-then-rename publish) instead of the local fast path
+    val root = "graftfs:" + SparkTestSession.tmpDir("graft-fs-")
+    val before = GraftTestFs.total
+    val t = new LakeTable(spark, root, "T", numBuckets = 4, maxDeltas = 2)
+    t.create(schema, Seq("ID"), "ID")
+    t.merge(df("a" -> "1", "b" -> "2"), Seq("ID"), "ID", "c1")
+    t.merge(df("a" -> "3"), Seq("ID"), "ID", "c2")
+    assert(t.read().collect().map(r => r.getString(0) -> r.getString(1))
+      .toSet == Set("a" -> "3", "b" -> "2"))
+    // delete + compact + vacuum, all through graftfs
+    t.merge(df(), Seq("ID"), "ID", "c3",
+      deleteRootKeys = Some(Seq("b").toDF("ID")))
+    t.compactAll("cpt")
+    t.vacuum(graceMs = 0)
+    assert(t.read().collect().map(r => r.getString(0) -> r.getString(1))
+      .toSet == Set("a" -> "3"))
+    // exactly-once across a re-opened table on the same scheme
+    val t2 = new LakeTable(spark, root, "T", numBuckets = 4)
+    t2.merge(df("a" -> "X"), Seq("ID"), "ID", "c2") // replayed tag: no-op
+    assert(t2.read().collect().map(_.getString(1)).toSeq == Seq("3"))
+    assert(GraftTestFs.inits.get > 0, "graftfs was never instantiated")
+    assert(GraftTestFs.total > before,
+      "no control-plane op went through the registered FileSystem")
+    // the engine's registry + lake DDL on the same scheme
+    val e = new graft.engine.Engine(spark, root, numBuckets = 4)
+    e.load("fsent",
+      Seq("""{"id":"d1","rev":"r1","content":"x"}""").toDF("doc"),
+      "doc", "t:1")
+    graft.engine.Engine.clearRegistryCache()
+    assert(e.loadRegistry("fsent").isDefined)
+    val spec = graft.catalog.Catalog
+      .fromTree(e.loadRegistry("fsent").get).find(_.isRoot).get
+    assert(e.table(spec).read().count() == 1)
+  }
 }

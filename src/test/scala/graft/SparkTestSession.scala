@@ -15,6 +15,8 @@ object SparkTestSession {
       // sandbox (state-store delta writes await checksum futures that
       // never complete) — stateful streaming needs it off here
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // non-default FileSystem for the control-plane FS-API tests
+      .config("spark.hadoop.fs.graftfs.impl", "graft.GraftTestFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
