@@ -68,14 +68,16 @@ object SparkEntry {
     })
 
   /** The point-lookup key set: two hot-repo keys that certainly exist,
-    * one mid-tail key, and one almost-certainly-ABSENT cold key (the
-    * lookup must return it on neither side). Ids follow EventGen's
-    * deterministic `repo|src/fP.lang|cK` shape. */
+    * one mid-tail key, and one GUARANTEED-ABSENT key — `repo-9999` is
+    * outside EventGen's repo id space at every SF, so the harness
+    * exercises the absent-key path end-to-end (oracle returns 3 rows,
+    * the bucket-pruned lookup must too; VERDICT r5 #7). Ids follow
+    * EventGen's deterministic `repo|src/fP.lang|cK` shape. */
   val PointLookupIds: Seq[String] = Seq(
     "repo-0000|src/f0.scala|c0",
     "repo-0000|src/f3.rs|c0",
     "repo-0001|src/f2.rs|c2",
-    "repo-0019|src/f7.py|c1")
+    "repo-9999|src/f7.py|c1")
 
   // shared expression: whitespace token count, oracle-identical form
   private def tokenCountSql(textCol: String): String =
@@ -609,6 +611,27 @@ object SparkEntry {
     ()
   }
 
+  /** Oracle substitutions for the two PRUNED ANN probes (VERDICT r5 #4):
+    * the index dirs plus the exact partition sets each probe reads, so
+    * the DuckDB oracle can `read_parquet` THE SAME probe cells and
+    * re-derive exact top-k independently of Spark's scan. The probe
+    * lists re-run the same driver-side derivations the queries use
+    * (hyperplane signature + Hamming ball; centroid scoring + split-cell
+    * collapse) — what's verified is everything downstream: the pruned
+    * scan, the cosine rerank, and the ordering. */
+  def annOracleSubs(s: SparkSession, dir: String): Map[String, String] = {
+    val q = queryVector(s, dir)
+    val ivfIdx = ensureIvfIndex(s, dir)
+    val sigs = Similarity.probeSet(
+      Similarity.hyperplaneSig(q, AnnBits, 42L), AnnBits, radius = 2)
+    val cells = Similarity.ivfProbeCells(ivfIdx, q, IvfNprobe)
+    Map(
+      "__ANNIDX__" -> ensureAnnIndex(s, dir),
+      "__IVFIDX__" -> ivfIdx,
+      "__ANNPROBES__" -> sigs.mkString(", "),
+      "__IVFPROBES__" -> cells.mkString(", "))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "cdc_latest_per_key" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
@@ -770,6 +793,36 @@ object SparkEntry {
         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) *
         |         list_dot_product(qv, qv)), 6) AS cosine
         |FROM embeddings, q
+        |ORDER BY cosine DESC, id
+        |LIMIT 20""".stripMargin,
+
+    // exact top-k re-derived OVER THE SAME PROBE PARTITIONS the pruned
+    // Spark probe read (index dir + probe-cell list substituted by
+    // Verify via [[annOracleSubs]]): DuckDB reads the index layout's
+    // hive partitions directly, filters to the probe set, and reranks
+    // with the same double-first cosine — independent of Spark's scan,
+    // rerank, and ordering (VERDICT r5 #4)
+    "ann_lsh" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT id,
+        |  round(list_dot_product(CAST(v AS DOUBLE[]), qv) /
+        |    sqrt(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[])) *
+        |         list_dot_product(qv, qv)), 6) AS cosine
+        |FROM read_parquet('__ANNIDX__/*/*.parquet', hive_partitioning=true), q
+        |WHERE CAST(sig AS BIGINT) IN (__ANNPROBES__)
+        |ORDER BY cosine DESC, id
+        |LIMIT 20""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT id,
+        |  round(list_dot_product(CAST(v AS DOUBLE[]), qv) /
+        |    sqrt(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[])) *
+        |         list_dot_product(qv, qv)), 6) AS cosine
+        |FROM read_parquet('__IVFIDX__/*/*.parquet', hive_partitioning=true), q
+        |WHERE CAST(cell AS INTEGER) IN (__IVFPROBES__)
         |ORDER BY cosine DESC, id
         |LIMIT 20""".stripMargin,
 

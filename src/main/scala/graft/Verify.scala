@@ -42,8 +42,15 @@ object Verify {
       case c => c.toString
     } + "\""
     val outAbs = new java.io.File(outDir).getAbsolutePath
+    // the ANN-probe oracles re-read the exact probe partitions the pruned
+    // queries read — Verify substitutes the session's index dirs and
+    // derived probe lists (indexes exist: the queries above built them)
+    val subs = Map("__OUTDIR__" -> outAbs) ++
+      SparkEntry.annOracleSubs(spark, sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUTDIR__", outAbs))}" }
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(subs.foldLeft(v) { case (s0, (p, r)) => s0.replace(p, r) })}"
+      }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

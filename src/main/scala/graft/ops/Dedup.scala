@@ -413,8 +413,6 @@ object Dedup {
     out
   }
 
-  val simhashUdf = udf(simhash _)
-
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys — any

@@ -342,17 +342,26 @@ object Similarity {
     * sample-dependent, which is what makes the bounded read sound). */
   def topKIvf(spark: org.apache.spark.sql.SparkSession, path: String,
       query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
-    val cents = readIvfCentroids(path)
-    val byParent = readIvfCells(path).groupBy(_.parent)
-    val probes = cents.zipWithIndex
-      .map { case (c, i) => (i, cosine(query, c)) }
-      .sortBy { case (i, c) => (-c, i) }
-      .take(nprobe)
-      .map { case (p, _) => byParent(p).map(_.cell).min }
+    val probes = ivfProbeCells(path, query, nprobe)
     spark.read.parquet(path)
       .filter(col("cell").isin(probes: _*)) // partition pruning (IO prune)
       .select(col("id"), round(cosineToQuery(col("v"), query), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
+  }
+
+  /** The exact final-cell ids a [[topKIvf]] probe reads — exposed so an
+    * independent verifier (the DuckDB oracle) can re-read precisely these
+    * partitions and re-derive the top-k (VERDICT r5 #4). */
+  def ivfProbeCells(path: String, query: Array[Float],
+      nprobe: Int): Seq[Int] = {
+    val cents = readIvfCentroids(path)
+    val byParent = readIvfCells(path).groupBy(_.parent)
+    cents.zipWithIndex
+      .map { case (c, i) => (i, cosine(query, c)) }
+      .sortBy { case (i, c) => (-c, i) }
+      .take(nprobe)
+      .map { case (p, _) => byParent(p).map(_.cell).min }
+      .toSeq
   }
 }

@@ -72,10 +72,6 @@ object TextOps {
     c
   }
 
-  // null-safe: Spark calls String-typed UDFs on null inputs (no primitive
-  // null-skip), and the column/native forms both yield null on null text
-  val langIdUdf = udf((s: String) => if (s == null) null else langIdOf(s))
-
   /** Language-ID as a PURE COLUMN EXPRESSION — identical semantics to
     * [[langIdOf]] (non-overlapping marker counts via replace-and-measure,
     * first-max tie-break in profile order), but the kernel stays inside
@@ -143,6 +139,4 @@ object TextOps {
     }
     if (acc == 0L) hashes(0) else acc
   }
-
-  val fingerprintUdf = udf((s: String) => fingerprintOf(s))
 }
