@@ -355,6 +355,9 @@ class OpsSpec extends AnyFunSuite {
         .payload.toSeq == rgb.toSeq, s"ppm w=$w h=$h")
       assert(Multimodal.decode(Multimodal.bmpBytes(w, h, rgb))
         .payload.toSeq == rgb.toSeq, s"bmp w=$w h=$h (stride pad ${w * 3 % 4})")
+      // PNG: hand-written encoder → JDK ImageIO decoder (independent code)
+      assert(Multimodal.decode(Multimodal.pngBytes(w, h, rgb))
+        .payload.toSeq == rgb.toSeq, s"png w=$w h=$h")
       val n = 8 * (1 + seed % 200)
       val pcm = Array.tabulate(n)(j => ((seed + j * 31) % 256).toByte)
       val d = Multimodal.decode(Multimodal.wavBytes(8000, 1, pcm))
@@ -371,10 +374,14 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.payloadByte(id, j.toLong).toByte)
     val viaPpm = Multimodal.decode(Multimodal.ppmBytes(w, h, rgb))
     val viaBmp = Multimodal.decode(Multimodal.bmpBytes(w, h, rgb))
+    val viaPng = Multimodal.decode(Multimodal.pngBytes(w, h, rgb))
     assert(viaPpm.width == w && viaPpm.height == h)
     assert(viaBmp.width == w && viaBmp.height == h)
+    assert(viaPng.width == w && viaPng.height == h)
     assert(viaPpm.payload.toSeq == rgb.toSeq)
     assert(viaBmp.payload.toSeq == rgb.toSeq, "BMP layout not normalized")
+    assert(viaPng.payload.toSeq == rgb.toSeq,
+      "ImageIO-decoded PNG disagrees with the encoder's logical pixels")
     // WAV: duration derived from the parsed byte rate and data length
     val nSamples = Multimodal.audioSampleCount(id)
     val wav = Multimodal.wavBytes(Multimodal.WavRate, 1,
