@@ -913,6 +913,14 @@ final class LakeTable(val spark: SparkSession, val root: String,
 
 object LakeTable {
 
+  /** Test-only fault-injection seam: invoked after EACH table's snapshot
+    * publish inside [[mergeAll]]. A test that throws here simulates a
+    * crash BETWEEN two tables' commits — the torn multi-table state whose
+    * recovery contract is "re-apply the same commitTag: already-committed
+    * tables no-op via their tag, the rest complete". Production code
+    * never sets it. */
+  private[graft] var afterTableCommit: String => Unit = _ => ()
+
   /** Per-write Hadoop options for every lake data write. FileOutputCommitter
     * v2 (task-side renames instead of a serial driver rename pass at job
     * commit): a micro-batch writes O(tables × buckets) files, and on a real
@@ -1039,8 +1047,11 @@ object LakeTable {
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       val del = metrics.get(s"ndel_${t.name}")
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      t.name -> t.commitDelta(s, commitTag, m.keyCols, m.rootKey, deltaSegs,
-        up, del, t0, if (m.rowSeqCol.isDefined) "lsn" else "commit")
+      val committedSnap = t.commitDelta(s, commitTag, m.keyCols, m.rootKey,
+        deltaSegs, up, del, t0,
+        if (m.rowSeqCol.isDefined) "lsn" else "commit")
+      afterTableCommit(t.name) // fault seam: crash between publishes
+      t.name -> committedSnap
     }.toMap
     doneMap ++ committed
   }

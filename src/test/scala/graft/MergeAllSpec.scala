@@ -117,6 +117,46 @@ class MergeAllSpec extends AnyFunSuite {
     assert(b.snapshot().hasCommit("m2"))
   }
 
+  test("torn commit: crash BETWEEN two tables' publishes, same-tag re-apply recovers") {
+    // the crash-recovery face of the exactly-once contract (VERDICT r5
+    // #8): the fault seam throws right after the FIRST table's snapshot
+    // publish — a real mid-commit crash — then the same commitTag is
+    // re-applied and must no-op the committed table while completing the
+    // other, with no double-apply on either
+    val (root, a, b) = mkTables()
+    LakeTable.mergeAll(root, Seq(
+      TableMerge(a, dfA("a1" -> "x"), Seq("ID"), "ID"),
+      TableMerge(b, dfB(("b1", "a1", 1L)), Seq("FK", "ID"), "FK")), "seed")
+    val boom = new RuntimeException("injected crash between table publishes")
+    val thrown =
+      try {
+        LakeTable.afterTableCommit = _ => throw boom
+        intercept[RuntimeException] {
+          LakeTable.mergeAll(root, Seq(
+            TableMerge(a, dfA("a1" -> "x2", "a3" -> "z"), Seq("ID"), "ID"),
+            TableMerge(b, dfB(("b2", "a3", 2L)), Seq("FK", "ID"), "FK")),
+            "torn")
+        }
+      } finally LakeTable.afterTableCommit = _ => ()
+    assert(thrown eq boom)
+    // torn state on disk: exactly ONE of the two tables carries the tag
+    val committed = Seq(a, b).filter(_.snapshot().hasCommit("torn"))
+    assert(committed.size == 1,
+      s"expected exactly one committed table, got ${committed.map(_.name)}")
+    val vFirst = committed.head.currentVersion()
+    // recovery: re-apply the SAME tag with the SAME payload
+    val snaps = LakeTable.mergeAll(root, Seq(
+      TableMerge(a, dfA("a1" -> "x2", "a3" -> "z"), Seq("ID"), "ID"),
+      TableMerge(b, dfB(("b2", "a3", 2L)), Seq("FK", "ID"), "FK")), "torn")
+    assert(snaps("A").hasCommit("torn") && snaps("B").hasCommit("torn"))
+    // the mid-crash-committed table did NOT advance again (no double apply)
+    assert(committed.head.currentVersion() == vFirst)
+    val gotA = a.read().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gotA == Map("a1" -> "x2", "a3" -> "z"))
+    val gotB = b.read().collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gotB == Map("b1" -> 1L, "b2" -> 2L))
+  }
+
   test("deletes cascade through a multi-commit; at-cap buckets compact inline") {
     val (root, a, b) = mkTables()
     // lsn-domain rows so deletes need explicit lsns (same contract as merge)
