@@ -244,6 +244,19 @@ object SparkEntry {
       Dedup.verifyJaccard(cand, docs, "doc_id", "text",
         threshold = 0.5, wordGrams = Some(3))
     }),
+    "dedup_components" -> ((s, dir) => {
+      // the clustering step over the verified word-3-gram pair graph
+      // (same edges as dedup_ngram_jaccard): near-dup similarity is not
+      // transitive, so keep-one-per-cluster needs the transitive closure —
+      // large-star/small-star connected components, oracled by a DuckDB
+      // recursive label propagation over the identical all-pairs edge set
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 96, rowsPerBand = 2, wordGrams = Some(3))
+      val pairs = Dedup.verifyJaccard(cand, docs, "doc_id", "text",
+        threshold = 0.5, wordGrams = Some(3))
+      Dedup.connectedComponents(pairs.select("id1", "id2"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 8)),
@@ -850,6 +863,43 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
         |FROM pairs
         |WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.5""".stripMargin,
+
+    // transitive closure of the SAME word-3-gram edge set, computed by a
+    // structurally different algorithm on each side: Spark runs
+    // large-star/small-star to a star-forest fixpoint, DuckDB propagates
+    // labels along symmetric edges with a recursive CTE and takes the
+    // per-node minimum — agreement pins both the edge set and the closure
+    "dedup_components" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |           range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s
+        |  FROM w),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS la, len(b.s) AS lb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT id1, id2 FROM pairs
+        |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.5),
+        |sym AS (
+        |  SELECT id1 AS a, id2 AS b FROM edges
+        |  UNION ALL SELECT id2, id1 FROM edges),
+        |reach AS (
+        |  SELECT a AS id, a AS lbl FROM sym
+        |  UNION
+        |  SELECT s.b AS id, r.lbl FROM sym s JOIN reach r ON r.id = s.a),
+        |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        |SELECT id, component,
+        |  count(*) OVER (PARTITION BY component) AS cluster_size
+        |FROM comp""".stripMargin,
 
     // ---- round-3 oracles ----
 

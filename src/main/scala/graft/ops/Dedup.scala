@@ -480,4 +480,84 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .groupBy("id1", "id2").agg(max("cosine").as("cosine"))
   }
+
+  // ---------- dedup clustering (connected components) ----------
+
+  /** Connected components over a near-dup pair set — the clustering step
+    * of a dedup pipeline: near-duplicate similarity is not transitive, so
+    * keep-one-per-cluster semantics need the transitive closure of the
+    * pair graph, not the pairs themselves.
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14), expressed so each
+    * phase is ONE groupBy-min plus ONE join on the same key — no
+    * per-node neighbor list is ever collected, so a 10^8-degree hub
+    * costs a shuffle, not executor memory, and no stage is quadratic.
+    * Converges in O(log² n) rounds; dedup graphs (dense clusters, tiny
+    * diameter) settle in 2-3. Per-round driver work is one 2-value
+    * aggregate for the fixpoint test; everything else is distributed.
+    *
+    * Input: `id1`/`id2` columns of any orderable type. Output: one row
+    * per node that appears in at least one pair — `(id, component,
+    * cluster_size)` with `component` = the minimum id in the cluster.
+    * If `maxRounds` is exhausted un-converged (never at sane inputs —
+    * 30 rounds covers any real graph), the min-label grouping below
+    * still returns a sound refinement (same-component nodes may split,
+    * never merge across components). */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    var edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .filter(col("u") =!= col("v")).distinct().persist()
+    var prevSig: (Long, Long) = (-1L, -1L)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star: hang every node's LARGER neighbors off the minimum of
+      // its closed neighborhood. groupBy-min then join back — both keyed
+      // on u, so the join reuses the aggregation's partitioning.
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // no distinct here: duplicate edges can't change small-star's
+      // groupBy-min, and dropping it saves a full shuffle per round
+      val large = sym.filter(col("v") > col("u")).join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+      // small-star: large-star output already has u > v (v > old-u ≥ m),
+      // so it IS the canonical smaller-neighbor orientation; re-hang each
+      // node and its smaller neighbors off the neighborhood minimum.
+      val mins2 = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(mins2, "u")
+        .select(explode(array(struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // LAZY localCheckpoint is load-bearing here, and not only for
+      // recompute: `sym` references `edges` TWICE, so without truncation
+      // the logical plan DOUBLES per round — exponential Catalyst tree
+      // walks long before any executor works. localCheckpoint rewrites
+      // the plan to a LogicalRDD immediately (and persists the RDD at
+      // first materialization — the convergence aggregate below).
+      val next = small.localCheckpoint(false)
+      // fixpoint test: order-free multiset signature (count + hash sum) —
+      // one tiny aggregate per round, the loop's only driver-side action
+      val sigRow = next.agg(count(lit(1)).as("c"),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
+      edges.unpersist()
+      edges = next
+      round += 1
+    }
+    // at the star-forest fixpoint every edge is (member → root); roots
+    // appear only on the v side and map to themselves
+    val members = edges.select(col("u").as("id"), col("v").as("component"))
+    val roots = edges.select(col("v").as("id"), col("v").as("component")).distinct()
+    val comp = members.unionByName(roots)
+      .groupBy("id").agg(min("component").as("component"))
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    val out = comp.join(sizes, "component").select("id", "component", "cluster_size")
+    edges.unpersist()
+    out
+  }
 }

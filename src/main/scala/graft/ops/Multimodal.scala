@@ -165,6 +165,41 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** JPEG encoder via the JDK's `javax.imageio` writer at an explicit
+    * quality. JPEG is LOSSY, so (unlike PPM/BMP/PNG) a decoded payload is
+    * not byte-identical to the source raster — the synthetic harness
+    * corpus therefore stays on the lossless containers and JPEG is
+    * covered by a bounded-error round-trip property instead of the exact
+    * checksum oracle. */
+  def jpegBytes(w: Int, h: Int, rgb: Array[Byte],
+      quality: Float = 0.95f): Array[Byte] = {
+    require(rgb.length == w * h * 3, "jpeg: rgb length != w*h*3")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var p = 0
+    while (p < px.length) {
+      val s = p * 3
+      px(p) = ((rgb(s) & 0xFF) << 16) | ((rgb(s + 1) & 0xFF) << 8) |
+        (rgb(s + 2) & 0xFF)
+      p += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(
+      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream(64 + rgb.length / 4)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   def wavBytes(sampleRate: Int, channels: Int,
       samples: Array[Byte]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
@@ -308,15 +343,17 @@ object Multimodal {
     Decoded(w, h, 3, 0L, Seq(Frame(w, h, rgb)), rgb)
   }
 
-  /** PNG decode via the JDK's `javax.imageio` (ships with JDK 17 — no
-    * external codec library): the one decoder in this file that is NOT
-    * hand-written, making the checksum oracle's PNG rows independent of
-    * the encoder's code (VERDICT r5 #3). Normalizes to the same logical
-    * top-down RGB stream as the other image decoders. */
-  private def decodePng(media: Array[Byte]): Decoded = {
+  /** PNG/JPEG decode via the JDK's `javax.imageio` (ships with JDK 17 —
+    * no external codec library): the decoders in this file that are NOT
+    * hand-written; for PNG that makes the checksum oracle's rows
+    * independent of the hand-written encoder (VERDICT r5 #3). ImageIO
+    * sniffs the container itself, so one body serves both dispatch arms.
+    * Normalizes to the same logical top-down RGB stream as the other
+    * image decoders. */
+  private def decodeImageIo(media: Array[Byte], label: String): Decoded = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(media))
-    require(img != null, "ImageIO could not decode PNG payload")
+    require(img != null, s"ImageIO could not decode $label payload")
     val w = img.getWidth
     val h = img.getHeight
     val rgb = new Array[Byte](w * h * 3)
@@ -377,14 +414,18 @@ object Multimodal {
   javax.imageio.ImageIO.setUseCache(false)
 
   /** Sniff-dispatch decode: P6 → PPM image / frame stream, BM → 24-bit
-    * BMP, ‰PNG → ImageIO, RIFF → PCM WAV. Throws on anything else (a
-    * real pipeline routes undecodable payloads to a quarantine column —
-    * callers own that policy; [[decodeAndExtractSafe]] is that policy). */
+    * BMP, ‰PNG / ÿØ JPEG → ImageIO, RIFF → PCM WAV. Throws on anything
+    * else (a real pipeline routes undecodable payloads to a quarantine
+    * column — callers own that policy; [[decodeAndExtractSafe]] is that
+    * policy). */
   def decode(media: Array[Byte]): Decoded = {
     require(media.length >= 2, "empty payload")
     if (media(0) == 'P' && media(1) == '6') decodePpmStream(media)
     else if (media(0) == 'B' && media(1) == 'M') decodeBmp(media)
-    else if (media(0) == 0x89.toByte && media(1) == 'P') decodePng(media)
+    else if (media(0) == 0x89.toByte && media(1) == 'P')
+      decodeImageIo(media, "PNG")
+    else if (media(0) == 0xFF.toByte && media(1) == 0xD8.toByte)
+      decodeImageIo(media, "JPEG")
     else if (media.length >= 4 &&
       new String(media, 0, 4, "US-ASCII") == "RIFF") decodeWav(media)
     else throw new IllegalArgumentException(

@@ -30,6 +30,47 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.count() == 50)
   }
 
+  test("connected components: star forest matches a union-find reference") {
+    // hand graph: a chain (worst case for label propagation — large/small
+    // star must still converge fast), a triangle sharing no nodes, a
+    // 2-clique, and reversed/duplicate edges
+    val hand = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain → 1
+      (10L, 11L), (11L, 12L), (12L, 10L),                  // triangle → 10
+      (20L, 21L), (21L, 20L), (20L, 21L))                  // dup/reversed → 20
+    val got = Dedup.connectedComponents(hand.toDF("id1", "id2"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L),
+      (4L, 1L, 5L), (5L, 1L, 5L), (10L, 10L, 3L), (11L, 10L, 3L),
+      (12L, 10L, 3L), (20L, 20L, 2L), (21L, 20L, 2L)))
+
+    // seeded random graphs vs a plain union-find
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got2 = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == want, s"trial $trial component mismatch")
+    }
+
+    // empty input → empty output, no crash
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id1", "id2")).count() == 0)
+  }
+
   test("minhash estimates track exact jaccard; LSH finds planted near-dups") {
     val base = documents.limit(40)
     // plant near-duplicates: append a few tokens to 8 docs
@@ -363,6 +404,48 @@ class OpsSpec extends AnyFunSuite {
       val d = Multimodal.decode(Multimodal.wavBytes(8000, 1, pcm))
       assert(d.payload.toSeq == pcm.toSeq && d.durationMs == n / 8, s"wav n=$n")
     }
+  }
+
+  test("multimodal: JPEG encode/decode round-trip within a lossy error bound") {
+    // JPEG is lossy, so the contract is dims + length exact and the
+    // pixel stream CLOSE, not byte-identical (which is why the harness
+    // checksum corpus stays on the lossless containers)
+    def meanAbsErr(a: Array[Byte], b: Array[Byte]): Double = {
+      var s = 0L; var j = 0
+      while (j < a.length) { s += math.abs((a(j) & 0xFF) - (b(j) & 0xFF)); j += 1 }
+      s.toDouble / a.length
+    }
+    val (w, h) = (37, 23) // odd dims exercise JPEG's 8x8/16x16 block padding
+    val smooth = Array.tabulate(w * h * 3) { j =>
+      val p = j / 3; ((p % w) * 3 + (p / w) * 2).toByte // gentle gradient
+    }
+    val dSmooth = Multimodal.decode(Multimodal.jpegBytes(w, h, smooth))
+    assert(dSmooth.width == w && dSmooth.height == h &&
+      dSmooth.payload.length == smooth.length)
+    assert(meanAbsErr(dSmooth.payload, smooth) < 8.0,
+      "JPEG q=0.95 drifted past the smooth-content bound")
+    // full-band noise is exactly what JPEG's perceptual model DISCARDS —
+    // the decode approximates per-block means, so MAE lands near the
+    // flat-gray-predictor baseline (E|X-127.5| = 63.75 for uniform bytes;
+    // measured ≈ 67 here). The honest bound separates "decoded the right
+    // blocks" from "unrelated content" (E|X-Y| = 85.3 for independent
+    // uniforms — a channel swap or row misalignment lands there).
+    val noisy = Array.tabulate(w * h * 3)(j =>
+      Multimodal.payloadByte(5L, j.toLong).toByte)
+    val dNoisy = Multimodal.decode(Multimodal.jpegBytes(w, h, noisy))
+    assert(dNoisy.payload.length == noisy.length)
+    assert(meanAbsErr(dNoisy.payload, noisy) < 80.0,
+      "JPEG noise round-trip decorrelated from the source blocks")
+    // decode is deterministic (same bytes in → same pixels out)
+    val again = Multimodal.decode(Multimodal.jpegBytes(w, h, noisy))
+    assert(java.util.Arrays.equals(again.payload, dNoisy.payload))
+    // resize accepts a JPEG asset like any other container
+    import spark.implicits._
+    val asset = Seq(MediaAsset(900L, "image",
+      Multimodal.jpegBytes(w, h, smooth), "image/jpeg", "s")).toDS()
+    val resized = Multimodal.resize(asset, 16).head()
+    val dr = Multimodal.decode(resized.media)
+    assert(math.max(dr.width, dr.height) <= 16)
   }
 
   test("multimodal: PPM/BMP decode to identical logical pixels; WAV duration from header") {
