@@ -504,7 +504,14 @@ object Dedup {
     * 30 rounds covers any real graph), the min-label grouping below
     * still returns a sound refinement (same-component nodes may split,
     * never merge across components). */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame =
+    connectedComponentsWithStats(pairs, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of large+small-star rounds
+    * the fixpoint took — the probe surface for convergence measurements
+    * (`tools.CcProbe`); the count includes the final confirming round. */
+  def connectedComponentsWithStats(pairs: DataFrame,
+      maxRounds: Int = 30): (DataFrame, Int) = {
     var edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
       .filter(col("u") =!= col("v")).distinct().persist()
     var prevSig: (Long, Long) = (-1L, -1L)
@@ -538,10 +545,12 @@ object Dedup {
       // the plan to a LogicalRDD immediately (and persists the RDD at
       // first materialization — the convergence aggregate below).
       val next = small.localCheckpoint(false)
-      // fixpoint test: order-free multiset signature (count + hash sum) —
-      // one tiny aggregate per round, the loop's only driver-side action
+      // fixpoint test: order-free SET signature (count + hash xor; edges
+      // are distinct, and xor can't overflow — sum(hash) throws under an
+      // ANSI session) — one tiny aggregate per round, the loop's only
+      // driver-side action
       val sigRow = next.agg(count(lit(1)).as("c"),
-        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
       val sig = (sigRow.getLong(0), sigRow.getLong(1))
       converged = sig == prevSig
       prevSig = sig
@@ -558,6 +567,6 @@ object Dedup {
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     val out = comp.join(sizes, "component").select("id", "component", "cluster_size")
     edges.unpersist()
-    out
+    (out, round)
   }
 }
