@@ -454,6 +454,22 @@ object SparkEntry {
         .filter(col("id2") === col("id1") + 1000000L)
         .select("id1", "id2")
     }),
+    "sample_stratified" -> ((s, dir) => {
+      // deterministic hash-threshold stratified sampling (the corpus-
+      // recipe primitive): keep a row iff the top-24 splitmix64 bits of
+      // its key fall under the stratum's threshold — a pure map-side
+      // filter (no shuffle, no RNG state) with nested samples across
+      // rates. zh is deliberately NOT in the map so the default-rate
+      // path is exercised end to end. Oracle replicates the full mix in
+      // HUGEINT mod-2^64 arithmetic and re-derives the bucket, so the
+      // hash value itself is verified, not just the keep/drop decision.
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.stratifiedSample(docs, "doc_id", "lang",
+          Map("en" -> 0.05, "de" -> 0.20, "fr" -> 0.50, "es" -> 0.80),
+          defaultRate = 0.10)
+        .select(col("doc_id"), col("lang"),
+          graft.ops.Sampling.sampleBucket(col("doc_id")).as("sample_bucket"))
+    }),
 
     // ---- multimodal (REAL pure-JVM codecs: PPM/BMP/WAV/frame stream) ----
     "mm_decode" -> ((s, dir) => {
@@ -779,6 +795,39 @@ object SparkEntry {
          |FROM w WHERE rn = 1 AND op <> 'delete'
          |  AND json_extract_string(doc, '$$.id') IN
          |    (${PointLookupIds.map(id => s"'$id'").mkString(", ")})""".stripMargin,
+
+    // full value-exact replica of the splitmix64 sample-bucket kernel
+    // (ops.Sampling) in HUGEINT mod-2^64 arithmetic: golden-gamma
+    // multiply, two xor-shift/multiply finalizer rounds (64×64 products
+    // split 32/32 so INT128 never overflows), unsigned top-24 extraction,
+    // then the per-stratum threshold join (zh absent -> default 1677721
+    // = floor(0.10 * 2^24)). Verified byte-exact on all docs.
+    "sample_stratified" ->
+      """WITH z0s AS (
+        |  SELECT doc_id, lang,
+        |    (doc_id::HUGEINT * 11400714819323198485::HUGEINT)
+        |      % 18446744073709551616::HUGEINT AS z0
+        |  FROM documents),
+        |y1s AS (SELECT doc_id, lang,
+        |  xor(z0::UBIGINT, (z0 // 1073741824)::UBIGINT)::HUGEINT AS y1 FROM z0s),
+        |z1s AS (SELECT doc_id, lang,
+        |  ((y1 % 4294967296) * 13787848793156543929::HUGEINT
+        |   + (((y1 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296)
+        |     * 4294967296) % 18446744073709551616::HUGEINT AS z1 FROM y1s),
+        |y2s AS (SELECT doc_id, lang,
+        |  xor(z1::UBIGINT, (z1 // 134217728)::UBIGINT)::HUGEINT AS y2 FROM z1s),
+        |z2s AS (SELECT doc_id, lang,
+        |  ((y2 % 4294967296) * 10723151780598845931::HUGEINT
+        |   + (((y2 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296)
+        |     * 4294967296) % 18446744073709551616::HUGEINT AS z2 FROM y2s),
+        |buckets AS (SELECT doc_id, lang,
+        |  CAST(xor(z2::UBIGINT, (z2 // 2147483648)::UBIGINT) // 1099511627776
+        |    AS BIGINT) AS sample_bucket FROM z2s),
+        |rates(lang, thresh) AS (VALUES
+        |  ('en', 838860), ('de', 3355443), ('fr', 8388608), ('es', 13421772))
+        |SELECT b.doc_id, b.lang, b.sample_bucket
+        |FROM buckets b LEFT JOIN rates r USING (lang)
+        |WHERE b.sample_bucket < coalesce(r.thresh, 1677721)""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

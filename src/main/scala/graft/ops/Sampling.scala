@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation — the missing piece
+  * between dedup and mixing: corpus recipes ("5% of English web, 80% of
+  * code, all of math") need samples that are reproducible across runs,
+  * cheap at 100 TB, and NESTED (raising a rate must grow the previous
+  * sample, never reshuffle it, so ablations share rows).
+  *
+  * Hash-threshold sampling delivers all three: keep a row iff
+  * `bucket(key) < rate · 2^24`, where `bucket` is the top 24 bits of a
+  * splitmix64 mix of the key. No shuffle, no RNG state, no driver
+  * coordination — a pure map-side filter that composes with scan pruning,
+  * and because the bucket depends only on the key, per-stratum thresholds
+  * give exact stratified control while keeping samples at different rates
+  * nested by construction (`rate₁ ≤ rate₂ ⇒ sample₁ ⊆ sample₂`).
+  *
+  * Everything is codegen'd built-ins (multiply/xor/shift on longs — Java
+  * wrap semantics under the engine's non-ANSI sessions); no UDF, no
+  * sampling-specific shuffle. The DuckDB oracle replicates the mix in
+  * HUGEINT mod-2^64 arithmetic (`SparkEntry.oracleSql("sample_stratified")`).
+  */
+object Sampling {
+
+  /** splitmix64-style mix of a long key as pure column expressions:
+    * golden-gamma multiply, then the two xor-shift/multiply finalizer
+    * rounds (Steele et al., "Fast Splittable Pseudorandom Number
+    * Generators", OOPSLA '14 — public constants). Long multiplication
+    * wraps mod 2^64 (Java semantics; engine sessions run ansi=false). */
+  def splitmix64(key: Column): Column = {
+    val z0 = key * lit(0x9E3779B97F4A7C15L)
+    val z1 = z0.bitwiseXOR(shiftrightunsigned(z0, 30)) * lit(0xBF58476D1CE4E5B9L)
+    val z2 = z1.bitwiseXOR(shiftrightunsigned(z1, 27)) * lit(0x94D049BB133111EBL)
+    z2.bitwiseXOR(shiftrightunsigned(z2, 31))
+  }
+
+  /** Scala reference of [[splitmix64]] for property tests. */
+  private[graft] def splitmix64Of(key: Long): Long = {
+    val z0 = key * 0x9E3779B97F4A7C15L
+    val z1 = (z0 ^ (z0 >>> 30)) * 0xBF58476D1CE4E5B9L
+    val z2 = (z1 ^ (z1 >>> 27)) * 0x94D049BB133111EBL
+    z2 ^ (z2 >>> 31)
+  }
+
+  /** Uniform sample bucket in [0, 2^24): the TOP 24 bits of the mix
+    * (unsigned shift, so the value is non-negative on both the Spark and
+    * the unsigned-arithmetic oracle side — a plain `pmod` would disagree
+    * with unsigned `%` because 2^64 is not a multiple of the modulus). */
+  def sampleBucket(key: Column): Column = shiftrightunsigned(splitmix64(key), 40)
+
+  val BucketSpace: Long = 1L << 24
+
+  /** `rate` ∈ [0,1] → integer bucket threshold. Computed once on the
+    * driver so the plan carries exact integer literals (no per-row float
+    * rounding to disagree with an oracle). */
+  def thresholdOf(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    math.min((rate * BucketSpace).toLong, BucketSpace)
+  }
+
+  /** Deterministic uniform sample: keep rows whose key-bucket falls under
+    * `rate`. Pure filter — pushes past into the scan like any predicate. */
+  def uniformSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(sampleBucket(col(keyCol)) < lit(thresholdOf(rate)))
+
+  /** Deterministic STRATIFIED sample: per-stratum rates (e.g. per
+    * language), `defaultRate` for strata not in the map. The rate table is
+    * O(strata) and broadcast — the big side never shuffles; at 100 TB this
+    * is a map-side hash-lookup filter fused into the scan stage.
+    *
+    * Output preserves `df`'s column order (a USING join would move the
+    * stratum column to the front). */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.map { case (s, r) => (s, thresholdOf(r)) }
+      .toDF(strataCol, "_g_thresh")
+    df.join(broadcast(ratesDf), Seq(strataCol), "left")
+      .filter(sampleBucket(col(keyCol)) <
+        coalesce(col("_g_thresh"), lit(thresholdOf(defaultRate))))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+}

@@ -543,4 +543,61 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---------- sampling ----------
+
+  test("sampling: column kernel ≡ Scala splitmix64 reference, incl. edge keys") {
+    val keys = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue,
+      0x9E3779B97F4A7C15L) ++ (1L to 200L)
+    val got = keys.toDF("k")
+      .select(col("k"), Sampling.splitmix64(col("k")).as("h"),
+        Sampling.sampleBucket(col("k")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got.foreach { case (k, h, b) =>
+      val ref = Sampling.splitmix64Of(k)
+      assert(h == ref, s"mix mismatch for key $k")
+      assert(b == (ref >>> 40), s"bucket mismatch for key $k")
+      assert(b >= 0 && b < Sampling.BucketSpace)
+    }
+  }
+
+  test("sampling: nested samples — raising the rate only ever ADDS rows") {
+    val s10 = Sampling.uniformSample(documents, "doc_id", 0.10)
+      .select("doc_id").as[Long].collect().toSet
+    val s30 = Sampling.uniformSample(documents, "doc_id", 0.30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(s30), "hash-threshold samples must be nested")
+    assert(s30.size > s10.size)
+    // determinism: a second run returns the identical row set
+    val again = Sampling.uniformSample(documents, "doc_id", 0.10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == s10)
+  }
+
+  test("sampling: stratified rates honored per stratum, default path, column order") {
+    val rates = Map("en" -> 0.0, "de" -> 1.0)
+    val out = Sampling.stratifiedSample(documents, "doc_id", "lang",
+      rates, defaultRate = 0.5)
+    assert(out.columns.toSeq == documents.columns.toSeq,
+      "stratifiedSample must preserve input column order")
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = documents.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("en"), "rate 0.0 must drop the whole stratum")
+    assert(byLang("de") == totals("de"), "rate 1.0 must keep the whole stratum")
+    // unmapped strata ride defaultRate — loose binomial bound around 0.5
+    Seq("fr", "es", "zh").foreach { l =>
+      val frac = byLang.getOrElse(l, 0L).toDouble / totals(l)
+      assert(frac > 0.2 && frac < 0.8,
+        s"default-rate stratum $l sampled at $frac, expected ≈0.5")
+    }
+    // stratum independence: the de rows of a different en-rate sample are
+    // the identical row set (buckets depend only on the key)
+    val out2 = Sampling.stratifiedSample(documents, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 1.0), defaultRate = 0.5)
+    val de1 = out.filter(col("lang") === "de").select("doc_id").as[Long].collect().toSet
+    val de2 = out2.filter(col("lang") === "de").select("doc_id").as[Long].collect().toSet
+    assert(de1 == de2)
+  }
 }

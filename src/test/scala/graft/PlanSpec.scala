@@ -145,4 +145,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
       s"lang-id fell back to a UDF:\n${p.take(1500)}")
   }
+
+  test("sample_stratified: map-side broadcast filter — zero shuffles on the corpus side") {
+    val p = plan("sample_stratified")
+    // the only Exchange allowed is the O(strata) rate table's broadcast;
+    // the documents side must never shuffle — at 100 TB the sample is a
+    // filter fused into the scan stage
+    val shuffles = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(shuffles == 0, s"sampling shuffled the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"rate table not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF"), "sampling kernel fell back to a UDF")
+  }
 }
