@@ -16,6 +16,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * checked input). These are the only compute-dense scalar kernels in the
   * ops layer — everything else uses built-in `functions._`.
   */
+/** splitmix64 sample bucket ([[graft.ops.Sampling.bucketOf]]) as a native
+  * kernel: top 24 bits of the key's splitmix64 mix, in plain Java long
+  * arithmetic — so it is ANSI-SESSION-SAFE, unlike a built-in column
+  * chain, whose `Multiply` throws ARITHMETIC_OVERFLOW under Spark 4's
+  * default ANSI mode for essentially every key (the mix WANTS mod-2^64
+  * wraparound). The wrap-around column form survives only in tests, as
+  * the shape the DuckDB oracle replicates. */
+final case class SampleBucket64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sample_bucket"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sample_bucket expects BIGINT, got ${child.dataType.sql} " +
+        "(the builder casts integral keys — pass a long)")
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ops.Sampling.bucketOf(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Sampling.bucketOf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SampleBucket64 =
+    copy(child = newChild)
+}
+
 final case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -294,6 +323,8 @@ object expressions {
   def sortedJaccard(a: Column, b: Column): Column =
     GraftBridge.column(SortedJaccard(GraftBridge.expression(a),
       GraftBridge.expression(b)))
+  def sampleBucket(c: Column): Column =
+    GraftBridge.column(SampleBucket64(GraftBridge.expression(c.cast("long"))))
 
   /** SQL registration on an EXISTING session:
     * `SELECT simhash64(text), minhash_sig(text, 5, 64), ...`.
@@ -375,6 +406,12 @@ object GraftFunctions {
       "sorted_jaccard(a, b) - exact Jaccard of two sorted hash arrays",
       es => { arity("sorted_jaccard", es, 2)
         SortedJaccard(es.head, es(1)) }),
+    fn("sample_bucket",
+      "sample_bucket(key) - deterministic sample bucket in [0, 2^24): " +
+        "top 24 bits of splitmix64(key); keep a row iff bucket < rate*2^24",
+      es => { arity("sample_bucket", es, 1)
+        SampleBucket64(org.apache.spark.sql.catalyst.expressions.Cast(
+          es.head, LongType)) }),
     fn("collect_up_to",
       "collect_up_to(expr, limit) - collect_list hard-bounded at limit " +
         "elements per group (hot-bucket guard; content arrival-ordered)",

@@ -17,38 +17,53 @@ import org.apache.spark.sql.functions._
   * give exact stratified control while keeping samples at different rates
   * nested by construction (`rate₁ ≤ rate₂ ⇒ sample₁ ⊆ sample₂`).
   *
-  * Everything is codegen'd built-ins (multiply/xor/shift on longs — Java
-  * wrap semantics under the engine's non-ANSI sessions); no UDF, no
-  * sampling-specific shuffle. The DuckDB oracle replicates the mix in
-  * HUGEINT mod-2^64 arithmetic (`SparkEntry.oracleSql("sample_stratified")`).
+  * The bucket is a native codegen kernel ([[graft.functions.expressions.
+  * SampleBucket64]], SQL name `sample_bucket`) — ANSI-session-safe Java
+  * long arithmetic; no UDF, no sampling-specific shuffle. The DuckDB
+  * oracle replicates the mix in HUGEINT mod-2^64 arithmetic
+  * (`SparkEntry.oracleSql("sample_stratified")`).
   */
 object Sampling {
 
-  /** splitmix64-style mix of a long key as pure column expressions:
-    * golden-gamma multiply, then the two xor-shift/multiply finalizer
-    * rounds (Steele et al., "Fast Splittable Pseudorandom Number
-    * Generators", OOPSLA '14 — public constants). Long multiplication
-    * wraps mod 2^64 (Java semantics; engine sessions run ansi=false). */
-  def splitmix64(key: Column): Column = {
-    val z0 = key * lit(0x9E3779B97F4A7C15L)
-    val z1 = z0.bitwiseXOR(shiftrightunsigned(z0, 30)) * lit(0xBF58476D1CE4E5B9L)
-    val z2 = z1.bitwiseXOR(shiftrightunsigned(z1, 27)) * lit(0x94D049BB133111EBL)
-    z2.bitwiseXOR(shiftrightunsigned(z2, 31))
-  }
-
-  /** Scala reference of [[splitmix64]] for property tests. */
-  private[graft] def splitmix64Of(key: Long): Long = {
+  /** splitmix64-style mix of a long key: golden-gamma multiply, then the
+    * two xor-shift/multiply finalizer rounds (Steele et al., "Fast
+    * Splittable Pseudorandom Number Generators", OOPSLA '14 — public
+    * constants). The mix NEEDS mod-2^64 wraparound, which Java long
+    * arithmetic gives for free — this is the eval target of the native
+    * [[graft.functions.expressions.SampleBucket64]] kernel. */
+  def splitmix64Of(key: Long): Long = {
     val z0 = key * 0x9E3779B97F4A7C15L
     val z1 = (z0 ^ (z0 >>> 30)) * 0xBF58476D1CE4E5B9L
     val z2 = (z1 ^ (z1 >>> 27)) * 0x94D049BB133111EBL
     z2 ^ (z2 >>> 31)
   }
 
-  /** Uniform sample bucket in [0, 2^24): the TOP 24 bits of the mix
-    * (unsigned shift, so the value is non-negative on both the Spark and
+  /** Sample bucket of a long key: [[splitmix64Of]]'s top 24 bits. Called
+    * from generated code — keep public and allocation-free. */
+  def bucketOf(key: Long): Long = splitmix64Of(key) >>> 40
+
+  /** Uniform sample bucket in [0, 2^24) as a Column: the TOP 24 bits of
+    * the mix (the top bits are non-negative on both the Spark side and
     * the unsigned-arithmetic oracle side — a plain `pmod` would disagree
-    * with unsigned `%` because 2^64 is not a multiple of the modulus). */
-  def sampleBucket(key: Column): Column = shiftrightunsigned(splitmix64(key), 40)
+    * with unsigned `%` because 2^64 is not a multiple of the modulus).
+    * Backed by the native codegen kernel, NOT a built-in multiply chain:
+    * under Spark 4's default ANSI mode a built-in `Multiply` throws
+    * ARITHMETIC_OVERFLOW for essentially every key, so the column form
+    * must not depend on the session's ANSI flag. SQL surface:
+    * `sample_bucket(key)` via [[graft.GraftExtensions]]. */
+  def sampleBucket(key: Column): Column =
+    graft.functions.expressions.sampleBucket(key)
+
+  /** The wrap-around built-ins form of the mix — the exact shape the
+    * DuckDB oracle replicates in HUGEINT mod-2^64 arithmetic. Only valid
+    * under non-ANSI sessions (the oracle environment); property-tested
+    * ≡ [[splitmix64Of]], never used in a query plan. */
+  private[graft] def splitmix64WrapCols(key: Column): Column = {
+    val z0 = key * lit(0x9E3779B97F4A7C15L)
+    val z1 = z0.bitwiseXOR(shiftrightunsigned(z0, 30)) * lit(0xBF58476D1CE4E5B9L)
+    val z2 = z1.bitwiseXOR(shiftrightunsigned(z1, 27)) * lit(0x94D049BB133111EBL)
+    z2.bitwiseXOR(shiftrightunsigned(z2, 31))
+  }
 
   val BucketSpace: Long = 1L << 24
 

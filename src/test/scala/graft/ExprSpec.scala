@@ -127,6 +127,6 @@ class ExprSpec extends AnyFunSuite {
     assert(graft.functions.GraftFunctions.all.map(_._1.funcName).toSet ==
       Set("simhash64", "fingerprint64", "minhash_sig", "word_minhash_sig",
         "hyperplane_sig", "lang_id", "collect_up_to",
-        "char_shingles", "word_shingles", "sorted_jaccard"))
+        "char_shingles", "word_shingles", "sorted_jaccard", "sample_bucket"))
   }
 }

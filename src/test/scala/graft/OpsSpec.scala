@@ -546,19 +546,27 @@ class OpsSpec extends AnyFunSuite {
 
   // ---------- sampling ----------
 
-  test("sampling: column kernel ≡ Scala splitmix64 reference, incl. edge keys") {
+  test("sampling: native kernel ≡ wrap-column oracle shape ≡ Scala reference") {
     val keys = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue,
       0x9E3779B97F4A7C15L) ++ (1L to 200L)
+    // wrap-column form is the shape the DuckDB oracle replicates; it is
+    // only legal under non-ANSI sessions (this one), while the native
+    // kernel must agree regardless of the session's ANSI flag
     val got = keys.toDF("k")
-      .select(col("k"), Sampling.splitmix64(col("k")).as("h"),
+      .select(col("k"), Sampling.splitmix64WrapCols(col("k")).as("h"),
         Sampling.sampleBucket(col("k")).as("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     got.foreach { case (k, h, b) =>
       val ref = Sampling.splitmix64Of(k)
       assert(h == ref, s"mix mismatch for key $k")
       assert(b == (ref >>> 40), s"bucket mismatch for key $k")
+      assert(b == Sampling.bucketOf(k))
       assert(b >= 0 && b < Sampling.BucketSpace)
     }
+    // the SQL surface resolves through the extensions-shared registry
+    graft.functions.expressions.registerAll(spark)
+    val viaSql = spark.sql("SELECT sample_bucket(42L) AS b").head().getLong(0)
+    assert(viaSql == Sampling.bucketOf(42L))
   }
 
   test("sampling: nested samples — raising the rate only ever ADDS rows") {
