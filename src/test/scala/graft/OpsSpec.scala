@@ -569,6 +569,23 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == Sampling.bucketOf(42L))
   }
 
+  test("sampling: identical sample under an ANSI session (native kernel, no wrap Multiply)") {
+    // the mix needs mod-2^64 wraparound; a built-in Multiply chain would
+    // throw ARITHMETIC_OVERFLOW here — the native kernel must not care
+    val before = spark.conf.get("spark.sql.ansi.enabled")
+    val quiet = Sampling.uniformSample(documents, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val ansi = Sampling.uniformSample(documents, "doc_id", 0.25)
+        .select("doc_id").as[Long].collect().toSet
+      assert(ansi == quiet)
+      val strat = Sampling.stratifiedSample(documents, "doc_id", "lang",
+        Map("en" -> 0.3), defaultRate = 0.7)
+      assert(strat.count() > 0)
+    } finally spark.conf.set("spark.sql.ansi.enabled", before)
+  }
+
   test("sampling: nested samples — raising the rate only ever ADDS rows") {
     val s10 = Sampling.uniformSample(documents, "doc_id", 0.10)
       .select("doc_id").as[Long].collect().toSet
