@@ -74,9 +74,11 @@ object SubmitSmoke {
     val sh = spark.sql("SELECT simhash64('spark submit smoke') AS h").head().getLong(0)
     val lid = spark.sql("SELECT lang_id('the quick brown fox jumps') AS l")
       .head().getString(0)
-    println(s"[submit-smoke] simhash64=$sh lang_id=$lid")
+    val sb = spark.sql("SELECT sample_bucket(42) AS b").head().getLong(0)
+    println(s"[submit-smoke] simhash64=$sh lang_id=$lid sample_bucket(42)=$sb")
     assert(sh != 0L, "simhash64 returned 0 for non-empty text")
     assert(lid == "en", s"lang_id misread plain English as $lid")
+    assert(sb == graft.ops.Sampling.bucketOf(42L), "sample_bucket mismatch")
 
     // read membership AFTER the work so executor registration has settled;
     // getExecutorMemoryStatus counts the driver too, so executors = size - 1
