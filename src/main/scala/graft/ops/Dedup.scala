@@ -519,14 +519,9 @@ object Dedup {
     var converged = false
     while (!converged && round < maxRounds) {
       // large-star: hang every node's LARGER neighbors off the minimum of
-      // its closed neighborhood. The symmetrized edges are repartitioned
-      // on u ONCE, so BOTH the groupBy-min and the join-back reuse that
-      // exchange (hashpartitioning(u) satisfies each one's required
-      // distribution) — without it the groupBy and the join each shuffle
-      // `sym` separately (the filter in between defeats ReuseExchange):
-      // 2 full-edge-set shuffles per star phase instead of 1.
+      // its closed neighborhood. groupBy-min then join back — both keyed
+      // on u, so the join reuses the aggregation's partitioning.
       val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-        .repartition(col("u"))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       // no distinct here: duplicate edges can't change small-star's
@@ -537,10 +532,8 @@ object Dedup {
       // small-star: large-star output already has u > v (v > old-u ≥ m),
       // so it IS the canonical smaller-neighbor orientation; re-hang each
       // node and its smaller neighbors off the neighborhood minimum.
-      // Same single-exchange trick: repartition once, agg + join reuse.
-      val largeP = large.repartition(col("u"))
-      val mins2 = largeP.groupBy("u").agg(min("v").as("m"))
-      val small = largeP.join(mins2, "u")
+      val mins2 = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(mins2, "u")
         .select(explode(array(struct(col("u").as("a"), col("m").as("b")),
           struct(col("v").as("a"), col("m").as("b")))).as("e"))
         .select(col("e.a").as("u"), col("e.b").as("v"))
