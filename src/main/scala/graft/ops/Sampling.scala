@@ -76,7 +76,11 @@ object Sampling {
   }
 
   /** Deterministic uniform sample: keep rows whose key-bucket falls under
-    * `rate`. Pure filter — pushes past into the scan like any predicate. */
+    * `rate`. Pure filter — pushes past into the scan like any predicate.
+    * A NULL key has no identity to sample by: its bucket is null, the
+    * comparison is null, and the row is dropped at every rate (pinned by
+    * OpsSpec) — filter null keys out (or synthesize keys) upstream if
+    * they must be kept. */
   def uniformSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(sampleBucket(col(keyCol)) < lit(thresholdOf(rate)))
 

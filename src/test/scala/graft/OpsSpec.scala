@@ -569,6 +569,12 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == Sampling.bucketOf(42L))
   }
 
+  test("sampling: null keys are dropped at every rate (no identity to sample by)") {
+    val df = Seq(Some(1L), Some(2L), None, Some(4L)).toDF("k")
+    assert(Sampling.uniformSample(df, "k", 1.0).count() == 3)
+    assert(Sampling.uniformSample(df, "k", 0.0).count() == 0)
+  }
+
   test("sampling: identical sample under an ANSI session (native kernel, no wrap Multiply)") {
     // the mix needs mod-2^64 wraparound; a built-in Multiply chain would
     // throw ARITHMETIC_OVERFLOW here — the native kernel must not care
