@@ -75,14 +75,27 @@ object Sampling {
     math.min((rate * BucketSpace).toLong, BucketSpace)
   }
 
+  /** Key column of any type → the long the mix runs on: integral keys
+    * cast (so the bucket is a pure function of the VALUE — stable if the
+    * column later widens int → long), everything else (string URLs,
+    * binary digests, structs) through the built-in `xxhash64` (ANSI-safe,
+    * seed-stable across Spark versions by spec). */
+  private def keyAsLong(df: DataFrame, keyCol: String): Column = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.schema(keyCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => col(keyCol).cast("long")
+      case _ => xxhash64(col(keyCol))
+    }
+  }
+
   /** Deterministic uniform sample: keep rows whose key-bucket falls under
     * `rate`. Pure filter — pushes past into the scan like any predicate.
-    * A NULL key has no identity to sample by: its bucket is null, the
-    * comparison is null, and the row is dropped at every rate (pinned by
-    * OpsSpec) — filter null keys out (or synthesize keys) upstream if
-    * they must be kept. */
+    * Keys of any type (see [[keyAsLong]]). A NULL key has no identity to
+    * sample by: its bucket is null, the comparison is null, and the row
+    * is dropped at every rate (pinned by OpsSpec) — filter null keys out
+    * (or synthesize keys) upstream if they must be kept. */
   def uniformSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
-    df.filter(sampleBucket(col(keyCol)) < lit(thresholdOf(rate)))
+    df.filter(sampleBucket(keyAsLong(df, keyCol)) < lit(thresholdOf(rate)))
 
   /** Deterministic STRATIFIED sample: per-stratum rates (e.g. per
     * language), `defaultRate` for strata not in the map. The rate table is
@@ -98,7 +111,7 @@ object Sampling {
     val ratesDf = rates.toSeq.map { case (s, r) => (s, thresholdOf(r)) }
       .toDF(strataCol, "_g_thresh")
     df.join(broadcast(ratesDf), Seq(strataCol), "left")
-      .filter(sampleBucket(col(keyCol)) <
+      .filter(sampleBucket(keyAsLong(df, keyCol)) <
         coalesce(col("_g_thresh"), lit(thresholdOf(defaultRate))))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }

@@ -569,6 +569,23 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == Sampling.bucketOf(42L))
   }
 
+  test("sampling: string keys sample deterministically and stay nested") {
+    val docs = documents.select(concat(lit("url://"), col("doc_id")).as("url"),
+      col("lang"))
+    val s20 = Sampling.uniformSample(docs, "url", 0.20)
+      .select("url").as[String].collect().toSet
+    val s60 = Sampling.uniformSample(docs, "url", 0.60)
+      .select("url").as[String].collect().toSet
+    assert(s20.subsetOf(s60) && s60.size > s20.size && s20.nonEmpty)
+    val again = Sampling.uniformSample(docs, "url", 0.20)
+      .select("url").as[String].collect().toSet
+    assert(again == s20)
+    // stratified path accepts the same non-integral key
+    assert(Sampling.stratifiedSample(docs, "url", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0)
+      .count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("sampling: null keys are dropped at every rate (no identity to sample by)") {
     val df = Seq(Some(1L), Some(2L), None, Some(4L)).toDF("k")
     assert(Sampling.uniformSample(df, "k", 1.0).count() == 3)
