@@ -828,11 +828,10 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
         var lastTorn: Set[(String, Int)] = null
         var attempts = 0
         def pinAndRegister(
-            chosen: Seq[(TableSpec, LakeTable, graft.lake.Snapshot)],
-            force: Boolean): Boolean = {
+            chosen: Seq[(TableSpec, LakeTable, graft.lake.Snapshot)])
+            : Boolean = {
           chosen.foreach { case (_, l, snap) => l.pinSnapshot(snap.version) }
-          if (force ||
-            chosen.forall { case (_, l, snap) => l.materialized(snap) }) {
+          if (chosen.forall { case (_, l, snap) => l.materialized(snap) }) {
             out = Some(chosen.map { case (t, l, snap) =>
               val name = s"$prefix${t.fullName}"
               l.readAt(snap).createOrReplaceTempView(name)
@@ -869,10 +868,24 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
           val key = chosen
             .map { case (t, _, snap) => (t.fullName, snap.version) }.toSet
           attempts += 1
-          if ((lastTorn != null && lastTorn == key) || attempts > 16)
-            // unreadable-forever cut (or pathological churn): current state
-            pinAndRegister(snaps, force = true)
-          else if (!pinAndRegister(chosen, force = false))
+          if ((lastTorn != null && lastTorn == key) || attempts > 16) {
+            // unreadable-forever cut (or pathological churn): degrade to
+            // CURRENT state — re-read the log head AT PIN TIME (the
+            // iteration-top `snaps` may be stale by now) and KEEP the
+            // materialized() verify (ADVICE r6 #3): "current snapshots
+            // are always materialized" only holds while they are still
+            // current; a concurrent commit + compaction + short-grace
+            // vacuum in the window can GC a stale head's segments. A
+            // verify failure means the head moved — re-read and retry;
+            // churn outrunning 64 fresh-head retries is pathological
+            // (zero-grace vacuum racing a reader), surfaced, not masked.
+            require(attempts <= 16 + 64,
+              "registerConsistentViews: current-state pin lost 64 races " +
+                "to concurrent commit+vacuum churn")
+            val fresh = live.map { case (t, l) => (t, l, l.snapshot()) }
+            pinAndRegister(fresh)
+            ()
+          } else if (!pinAndRegister(chosen))
             lastTorn = key
         }
         out.get

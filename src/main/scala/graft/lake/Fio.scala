@@ -15,19 +15,36 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileStatus, FileSystem,
   *
   * Local paths unwrap to the RAW local filesystem: the checksummed
   * [[LocalFileSystem]] wrapper doubles every control-plane write with a
-  * `.crc` sibling and rejects `append`. Two operations keep a stronger
-  * local form than the generic one:
+  * `.crc` sibling and rejects `append`. Two operations keep
+  * storage-specific forms behind pluggable strategies:
   *
-  *  - [[createExclusive]] — the commit point. Local: hard-link onto the
-  *    final name (POSIX-atomic create-if-absent, crash-safe). Remote:
-  *    write a uniquely-named tmp file, then `rename(tmp, target)` —
-  *    atomic and create-exclusive on HDFS (rename returns false when the
-  *    destination exists), and a crash mid-write can only orphan a tmp
-  *    file, never publish a torn snapshot. Raw object stores without
-  *    atomic rename-if-absent (plain S3) need a coordination layer here —
-  *    the same documented caveat as Iceberg's HadoopCatalog.
-  *  - [[append]] — metrics log. Local: kernel `O_APPEND`; remote:
-  *    `FileSystem.append` (native on HDFS).
+  *  - [[createExclusive]] — the commit point (atomic create-if-absent).
+  *    Strategy per scheme (`graft.fio.publish[.<scheme>]`), auto-resolved
+  *    when unset:
+  *      - `link` (any [[RawLocalFileSystem]]-backed scheme): hard-link
+  *        onto the final name — POSIX-atomic, crash-safe. Auto-selected
+  *        for EVERY RawLocal-derived FS regardless of scheme: POSIX
+  *        `rename(2)` REPLACES an existing destination, so the `rename`
+  *        strategy on such an FS would let a losing writer silently
+  *        drop the winner's committed snapshot (ADVICE r6 #1).
+  *      - `rename` (default for everything else): write a uniquely-named
+  *        tmp file, then `rename(tmp, target)` — atomic and
+  *        create-exclusive under the HDFS rename contract (returns false
+  *        when the destination exists); a crash mid-write can only
+  *        orphan a tmp file, never publish a torn snapshot.
+  *      - `create`: single `create(target, overwrite=false)` stream —
+  *        the conditional-put seam for object stores, where the object
+  *        materializes atomically at stream close and create-no-overwrite
+  *        maps to a conditional PUT (S3 If-None-Match). Configure this
+  *        for stores whose rename is copy+replace (plain S3/S3A): the
+  *        HadoopCatalog-style caveat applies to `rename` there, not to
+  *        `create`.
+  *  - [[append]] — metrics log. Local: kernel `O_APPEND`; HDFS: native
+  *    `FileSystem.append`; stores that reject append (S3A throws
+  *    `UnsupportedOperationException`) fall back transparently to
+  *    ROTATING immutable part files under `<name>.parts/`, readable
+  *    back with [[readLog]] (VERDICT r6 #2 — previously the first
+  *    metrics write on S3A would kill the batch).
   */
 final class Fio(conf: Configuration) extends Serializable {
 
@@ -80,13 +97,35 @@ final class Fio(conf: Configuration) extends Serializable {
     finally out.close()
   }
 
+  /** Resolved publish strategy for `fs` (see class doc): explicit
+    * `graft.fio.publish.<scheme>`, then `graft.fio.publish`, then auto —
+    * `link` on any RawLocalFileSystem-backed scheme (the only class
+    * where POSIX replace-rename makes `rename` lose commits), `rename`
+    * (HDFS contract) otherwise. */
+  private[lake] def publishMode(fs: FileSystem): String = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    Option(conf.get(s"graft.fio.publish.$scheme"))
+      .orElse(Option(conf.get("graft.fio.publish")))
+      .getOrElse(fs match {
+        case _: RawLocalFileSystem => "link"
+        case _                     => "rename"
+      })
+  }
+
   /** Atomic CREATE-IF-ABSENT publish of `content` at `target` — the
     * snapshot-log commit point. Returns false when `target` already
-    * exists (a concurrent writer won; caller re-derives and retries). */
+    * exists (a concurrent writer won; caller re-derives and retries).
+    * Strategy selection: [[publishMode]]. */
   def createExclusive(target: HPath, content: String): Boolean = {
     val fs = fsOf(target)
-    localFile(fs, target) match {
-      case Some(f) =>
+    publishMode(fs) match {
+      case "link" =>
+        val f = fs match {
+          case r: RawLocalFileSystem => r.pathToFile(target)
+          case other => throw new IllegalStateException(
+            s"graft.fio.publish=link needs a RawLocalFileSystem-backed " +
+              s"scheme, got ${other.getClass.getName} for $target")
+        }
         // POSIX: hard-link is the portable atomic create-if-absent; the
         // uniquely-named tmp keeps concurrent writers collision-free
         val dir = f.getParentFile.toPath
@@ -103,10 +142,24 @@ final class Fio(conf: Configuration) extends Serializable {
             java.nio.file.Files.deleteIfExists(tmp)
             false
         }
-      case None =>
-        // DFS: stage under a unique tmp name, rename onto the final name
-        // — on HDFS rename is atomic and fails (false) when the
-        // destination exists; a crash can only orphan the tmp file
+      case "create" =>
+        // conditional-put seam: the object becomes visible atomically at
+        // close (object-store semantics), so a crash mid-write publishes
+        // nothing; an existing target surfaces as FileAlreadyExists from
+        // either the create or the close
+        try {
+          val out = fs.create(target, false)
+          try out.write(content.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch {
+          case _: FileAlreadyExistsException                   => false
+          case _: java.nio.file.FileAlreadyExistsException     => false
+        }
+      case "rename" =>
+        // stage under a unique tmp name, rename onto the final name — on
+        // HDFS rename is atomic and fails (false) when the destination
+        // exists; a crash can only orphan the tmp file
         val tmp = new HPath(target.getParent,
           ".tmp-" + java.util.UUID.randomUUID().toString.take(8) +
             "-" + target.getName)
@@ -118,6 +171,9 @@ final class Fio(conf: Configuration) extends Serializable {
           catch { case _: FileAlreadyExistsException => false }
         if (!won) fs.delete(tmp, false)
         won
+      case other => throw new IllegalArgumentException(
+        s"graft.fio.publish: unknown strategy '$other' " +
+          "(expected link|rename|create)")
     }
   }
 
@@ -151,7 +207,12 @@ final class Fio(conf: Configuration) extends Serializable {
   }
 
   /** Append one line (metrics log). Local: kernel O_APPEND; DFS: native
-    * append (HDFS) with create-on-first-use. */
+    * append (HDFS) with create-on-first-use. Stores that reject append
+    * (S3A/ABFS throw UnsupportedOperationException) fall back to a NEW
+    * immutable part file per call under `<name>.parts/` — millis+uuid
+    * names keep parts collision-free and time-ordered; [[readLog]]
+    * reassembles base + parts. The probe result is remembered per scheme
+    * so only the first append on such a store pays the thrown probe. */
   def append(p: HPath, s: String): Unit = {
     val fs = fsOf(p)
     localFile(fs, p) match {
@@ -162,12 +223,47 @@ final class Fio(conf: Configuration) extends Serializable {
           java.nio.file.StandardOpenOption.APPEND)
         ()
       case None =>
-        val out =
-          if (fs.exists(p)) fs.append(p)
-          else fs.create(p, false)
-        try out.write(s.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
+        val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+        val canAppend = Fio.appendable.get(scheme)
+        if (canAppend == java.lang.Boolean.FALSE) appendRotating(fs, p, s)
+        else try {
+          val out =
+            if (fs.exists(p)) fs.append(p)
+            else fs.create(p, false)
+          try out.write(s.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          Fio.appendable.put(scheme, java.lang.Boolean.TRUE)
+        } catch {
+          case _: UnsupportedOperationException =>
+            Fio.appendable.put(scheme, java.lang.Boolean.FALSE)
+            appendRotating(fs, p, s)
+        }
     }
+  }
+
+  /** Rotating-segment append: one immutable part per call. */
+  private def appendRotating(fs: FileSystem, p: HPath, s: String): Unit = {
+    val dir = new HPath(p.getParent, p.getName + ".parts")
+    fs.mkdirs(dir)
+    // millis + per-process monotonic seq keep same-millisecond appends
+    // from one writer in order; the uuid keeps distinct writers apart
+    val part = new HPath(dir,
+      f"part-${System.currentTimeMillis()}%013d-" +
+        f"${Fio.partSeq.incrementAndGet()}%09d-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(part, false)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read back an [[append]]-built log: the base file (when present)
+    * followed by every rotated part in name (≈ time) order. */
+  def readLog(p: HPath): String = {
+    val base = if (exists(p)) readString(p) else ""
+    val parts = list(new HPath(p.getParent, p.getName + ".parts"))
+      .filter(_.isFile).sortBy(_.getPath.getName)
+      .map(st => readString(st.getPath))
+    (base +: parts).mkString
   }
 
   def delete(p: HPath, recursive: Boolean): Boolean =
@@ -193,4 +289,18 @@ final class Fio(conf: Configuration) extends Serializable {
         case x        => new HPath(p, x)
       }
     }
+}
+
+object Fio {
+  /** Per-scheme memo of `FileSystem.append` support (probe-on-first-use;
+    * process-wide — append-ability is a connector property, not a path
+    * property). */
+  private val appendable =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Rotating-part sequence (same-millisecond ordering within a process). */
+  private val partSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Test hook: forget probe results (a re-registered scheme may change). */
+  private[graft] def clearAppendProbe(): Unit = appendable.clear()
 }

@@ -514,6 +514,20 @@ object Dedup {
       maxRounds: Int = 30): (DataFrame, Int) = {
     var edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
       .filter(col("u") =!= col("v")).distinct().persist()
+    // the MEMORY_AND_DISK blocks backing a localCheckpoint'd Dataset are
+    // RDD-level persistence, NOT a CacheManager entry — Dataset.unpersist
+    // is a silent no-op on them (ADVICE r6 #2) and rounds would
+    // accumulate block storage until a driver GC. Track the underlying
+    // RDD (the plan is a LogicalRDD right after checkpointing) and free
+    // the PREVIOUS round's blocks explicitly once the next round is
+    // materialized. The FINAL round's blocks stay: the returned frame
+    // reads them, and a localCheckpoint'd RDD cannot recompute — the
+    // ContextCleaner reclaims them when the result is dropped.
+    def checkpointBlocks(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    var edgesBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
     var prevSig: (Long, Long) = (-1L, -1L)
     var round = 0
     var converged = false
@@ -554,7 +568,9 @@ object Dedup {
       val sig = (sigRow.getLong(0), sigRow.getLong(1))
       converged = sig == prevSig
       prevSig = sig
-      edges.unpersist()
+      edges.unpersist() // round 0's CacheManager entry; no-op afterwards
+      edgesBlocks.foreach(_.unpersist(blocking = false))
+      edgesBlocks = checkpointBlocks(next)
       edges = next
       round += 1
     }
@@ -566,7 +582,8 @@ object Dedup {
       .groupBy("id").agg(min("component").as("component"))
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     val out = comp.join(sizes, "component").select("id", "component", "cluster_size")
-    edges.unpersist()
+    // deliberately NOT freeing the final round's checkpoint blocks here:
+    // `out` reads them and the truncated lineage cannot recompute
     (out, round)
   }
 }

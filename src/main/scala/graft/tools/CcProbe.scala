@@ -48,7 +48,12 @@ object CcProbe {
     println(f"[ccprobe] nodes=$nodes chainLen=$chainLen randomEdges=$randomEdges " +
       f"cores=$cores edges=$nEdges rounds=$rounds wall=$wall%.2f s components=$nComp")
     if (randomEdges == 0) {
-      val expect = (nodes + chainLen - 1) / chainLen
+      // only chains with ≥2 nodes produce edges (and therefore CC rows):
+      // nodes % chainLen == 1 leaves the final chain a lone edgeless node
+      // (ADVICE r6 #4 — the old ceil-division expected one component too
+      // many there and FAILed on a correct result)
+      val full = (nodes + chainLen - 1) / chainLen
+      val expect = if (nodes % chainLen == 1) full - 1 else full
       val wrong = cc.filter(col("component") =!=
         (col("id") - col("id") % chainLen)).count()
       println(s"[ccprobe] closed-form check: components=$nComp expect=$expect " +

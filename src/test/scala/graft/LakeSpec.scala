@@ -432,4 +432,40 @@ class LakeSpec extends AnyFunSuite {
       .fromTree(e.loadRegistry("fsent").get).find(_.isRoot).get
     assert(e.table(spec).read().count() == 1)
   }
+
+  test("control plane survives an OBJECT-STORE FileSystem (no append, replace-rename)") {
+    // VERDICT r6 #2: graftobj rejects FileSystem.append and its rename
+    // replaces existing destinations (the plain-S3 shape). The session
+    // pins graft.fio.publish.graftobj=create (conditional-put seam), and
+    // Fio.append must rotate part files instead of dying on the first
+    // metrics write.
+    val root = "graftobj:" + SparkTestSession.tmpDir("graft-obj-")
+    val t = new LakeTable(spark, root, "T", numBuckets = 4, maxDeltas = 2)
+    t.create(schema, Seq("ID"), "ID")
+    t.merge(df("a" -> "1", "b" -> "2"), Seq("ID"), "ID", "c1")
+    t.merge(df("a" -> "3"), Seq("ID"), "ID", "c2")
+    assert(t.read().collect().map(r => r.getString(0) -> r.getString(1))
+      .toSet == Set("a" -> "3", "b" -> "2"))
+    t.merge(df(), Seq("ID"), "ID", "c3",
+      deleteRootKeys = Some(Seq("b").toDF("ID")))
+    t.compactAll("cpt")
+    t.vacuum(graceMs = 0)
+    assert(t.read().collect().map(r => r.getString(0) -> r.getString(1))
+      .toSet == Set("a" -> "3"))
+    // exactly-once across a re-opened table on the same scheme
+    val t2 = new LakeTable(spark, root, "T", numBuckets = 4)
+    t2.merge(df("a" -> "X"), Seq("ID"), "ID", "c2") // replayed tag: no-op
+    assert(t2.read().collect().map(_.getString(1)).toSeq == Seq("3"))
+    // the engine end-to-end: registry, DDL, flatten, merge — and the
+    // STREAMING path, whose per-batch metrics line hits Fio.append
+    val e = new graft.engine.Engine(spark, root, numBuckets = 4)
+    e.load("objent",
+      Seq("""{"id":"d1","rev":"r1","content":"x"}""").toDF("doc"),
+      "doc", "t:1")
+    graft.engine.Engine.clearRegistryCache()
+    assert(e.loadRegistry("objent").isDefined)
+    val spec = graft.catalog.Catalog
+      .fromTree(e.loadRegistry("objent").get).find(_.isRoot).get
+    assert(e.table(spec).read().count() == 1)
+  }
 }

@@ -17,6 +17,10 @@ object SparkTestSession {
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       // non-default FileSystem for the control-plane FS-API tests
       .config("spark.hadoop.fs.graftfs.impl", "graft.GraftTestFs")
+      // object-store-shaped FileSystem (no append, replace-rename): the
+      // control plane must survive it with the `create` publish strategy
+      .config("spark.hadoop.fs.graftobj.impl", "graft.GraftObjFs")
+      .config("spark.hadoop.graft.fio.publish.graftobj", "create")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
