@@ -506,11 +506,13 @@ class OpsSpec extends AnyFunSuite {
 
   test("multimodal: real decode, resize, frame-sample over the synthetic corpus") {
     val assets = Multimodal.syntheticAssets(spark, 30)
+    def isJpegLeg(i: Long): Boolean = i % 3 == 0 && (i / 3) % 4 == 3
     val rows = Multimodal.decodeAndExtract(assets).collect()
     assert(rows.length == 30)
     assert(rows.forall(_.feature.length == 8))
     // checksums match the generator's closed form — derived from BYTES
-    rows.foreach { m =>
+    // (lossless legs only; the JPEG legs are bound-checked below)
+    rows.filterNot(m => isJpegLeg(m.asset_id)).foreach { m =>
       val n = m.kind match {
         case "image" =>
           val (w, h) = Multimodal.imageDims(m.asset_id); w * h * 3
@@ -523,12 +525,37 @@ class OpsSpec extends AnyFunSuite {
         .map(j => (j + 1) * Multimodal.payloadByte(m.asset_id, j)).sum
       assert(m.checksum == expect, s"asset ${m.asset_id} (${m.kind})")
     }
+    // the LOSSY legs (ids 9, 21 here): dims exact, decode within the
+    // quantization bound of the canonical gradient ⇒ harness checksum -1
+    val harness = Multimodal.decodeForHarness(assets).collect()
+      .map(m => m.asset_id -> m).toMap
+    val jpegIds = (0L until 30L).filter(isJpegLeg)
+    assert(jpegIds == Seq(9L, 21L))
+    jpegIds.foreach { i =>
+      val (w, h) = Multimodal.imageDims(i)
+      val m = harness(i)
+      assert(m.width == w && m.height == h && m.channels == 3)
+      assert(m.checksum == -1L,
+        s"jpeg asset $i decode outside the quantization bound")
+      // ...and the lossless legs keep the RAW checksum through the
+      // harness variant (the policy only touches the jpeg mime)
+      assert(harness(i - 3).checksum ==
+        rows.find(_.asset_id == i - 3).get.checksum)
+    }
     // REAL nearest-neighbor resize: dims capped, pixel (0,0) preserved
+    // (within the quantization bound on the lossy legs)
     val resized = Multimodal.resize(assets.filter(_.kind != "audio"), maxDim = 16)
     resized.collect().foreach { a =>
       val d = Multimodal.decode(a.media)
       assert(math.max(d.width, d.height) <= 16, s"asset ${a.asset_id}")
-      assert((d.payload(0) & 0xFF) == Multimodal.payloadByte(a.asset_id, 0))
+      val expect0 =
+        if (isJpegLeg(a.asset_id))
+          Multimodal.jpegCanonicalByte(a.asset_id,
+            Multimodal.imageDims(a.asset_id)._1, 0L)
+        else Multimodal.payloadByte(a.asset_id, 0)
+      assert(math.abs((d.payload(0) & 0xFF) - expect0) <=
+        (if (isJpegLeg(a.asset_id)) Multimodal.MaxJpegAbsErr else 0),
+        s"asset ${a.asset_id}")
     }
     // frame sampling: image = 1 frame; video = ceil(nf/2); audio absent
     val counts = Multimodal.frameSample(assets, everyNth = 2)
