@@ -71,6 +71,44 @@ class OpsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("id1", "id2")).count() == 0)
   }
 
+  test("connected components: pathological topologies converge in O(log n) rounds") {
+    // VERDICT r6 #5: dedup clusters are dense and converge in 2-3 rounds;
+    // the adversarial shapes for star-contraction are DIAMETER (a long
+    // path) and two giant hubs merging through one bridge edge. Both must
+    // land well inside maxRounds=30 (the O(log² n) story) and label
+    // every node with the component minimum. Graphs built via
+    // spark.range — nothing node-scale touches the driver.
+    val n = 10000L
+    val path = spark.range(0, n - 1)
+      .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+    val (pathCc, pathRounds) = Dedup.connectedComponentsWithStats(path)
+    val pathAgg = pathCc.agg(
+      count(lit(1)), countDistinct("component"), min("component"),
+      max("component"), min("cluster_size")).head()
+    assert(pathAgg.getLong(0) == n)     // every node labeled
+    assert(pathAgg.getLong(1) == 1L)    // one component
+    assert(pathAgg.getLong(2) == 0L && pathAgg.getLong(3) == 0L) // min id
+    assert(pathAgg.getLong(4) == n)
+    assert(pathRounds < 30, s"path did not converge (rounds=$pathRounds)")
+    assert(pathRounds <= 18,
+      s"10k-path took $pathRounds rounds — the O(log n) bound regressed")
+
+    // two 5k-leaf stars whose hubs join through a single bridge edge:
+    // hub 0 with leaves 1..5000, hub 100000 with leaves 100001..105000
+    val star = spark.range(1, 5001).select(lit(0L).as("id1"), col("id").as("id2"))
+      .unionAll(spark.range(100001, 105001)
+        .select(lit(100000L).as("id1"), col("id").as("id2")))
+      .unionAll(Seq((5000L, 105000L)).toDF("id1", "id2")) // leaf-leaf bridge
+    val (starCc, starRounds) = Dedup.connectedComponentsWithStats(star)
+    val starAgg = starCc.agg(
+      count(lit(1)), countDistinct("component"), max("component")).head()
+    assert(starAgg.getLong(0) == 10002L)
+    assert(starAgg.getLong(1) == 1L)
+    assert(starAgg.getLong(2) == 0L)
+    assert(starRounds <= 8,
+      s"merging stars took $starRounds rounds — hub contraction regressed")
+  }
+
   test("minhash estimates track exact jaccard; LSH finds planted near-dups") {
     val base = documents.limit(40)
     // plant near-duplicates: append a few tokens to 8 docs
