@@ -19,6 +19,62 @@ import graft.engine.Engine
   * parse sees clean JSON), plus a BENCH_LOCAL.json copy on disk.
   */
 object Bench {
+  /** Pure-ALU host-steal probe (VERDICT r6 #1 — the artifact of record
+    * must carry its own window-quality evidence): a fixed splitmix64
+    * mixing workload split across `threads` JVM threads, no allocation,
+    * no Spark, no IO — wall time moves ONLY with CPU availability. 8 of
+    * 32 threads: enough parallelism to see steal, far from saturating
+    * the box. Each call self-warms (1/16 of the work first) so the first
+    * reading isn't JIT-skewed. Quiet reference on this sandbox:
+    * [[ProbeQuietSecs]] (override via GRAFT_PROBE_QUIET). */
+  def cpuProbe(threads: Int = 8, itersPerThread: Long = 1200000000L): Double = {
+    def mixRun(n: Long, seed: Long): Long = {
+      var z = seed
+      var acc = 0L
+      var i = 0L
+      while (i < n) { // splitmix64 finalizer — public-domain constants
+        z += 0x9E3779B97F4A7C15L
+        var x = z
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        acc ^= x ^ (x >>> 31)
+        i += 1
+      }
+      acc
+    }
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    // per-thread elapsed, MEDIAN across threads: a wall-clock max-of-N
+    // jitters ±20% on a quiet box (any one thread briefly descheduled
+    // drags the join), while the median moves only when contention is
+    // broad — which is also the only contention that moves the bench
+    def pass(n: Long): Double = {
+      val elapsed = new Array[Long](threads)
+      val ts = (0 until threads).map { t =>
+        val th = new Thread(() => {
+          val s = System.nanoTime()
+          sink.addAndGet(mixRun(n, t + 1L))
+          elapsed(t) = System.nanoTime() - s
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      val sorted = elapsed.sorted
+      sorted(threads / 2) / 1e9
+    }
+    pass(itersPerThread / 16) // JIT warm
+    // min of two passes: this host's micro-steal lifts lone readings
+    // ~1.3x on an otherwise-quiet box (measured); a burst broad enough
+    // to bias the bench lifts both back-to-back passes
+    math.min(pass(itersPerThread), pass(itersPerThread))
+  }
+
+  /** Calibrated quiet-host reading of [[cpuProbe]] with defaults (8
+    * threads × 1.2·10⁹ mixes, min-of-2 median-thread) on this 32-vCPU
+    * sandbox: quiet band measured 1.23-1.41 s over 8 consecutive runs.
+    * Re-calibrate with `runMain graft.tools.StealProbe` when the box
+    * changes; override per-run via GRAFT_PROBE_QUIET. */
+  val ProbeQuietSecs: Double = 1.30
+
   /** local-cluster launches real executor processes and needs SPARK_HOME /
     * SPARK_SCALA_VERSION in the env. build.sbt sets them for sbt-forked
     * runs; anything else must provide them (fail fast, no env mutation). */
@@ -218,6 +274,18 @@ object Bench {
     // harness timeout.
     val benchT0 = System.nanoTime()
     val budgetSecs = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SECS", "660").toInt
+    // Self-qualification (VERDICT r6 #1): interleave pure-CPU steal-probe
+    // readings with the scaling rounds and embed them — plus a
+    // clean/degraded/unusable verdict — in the emitted JSON, so a
+    // host-contended capture is identifiable FROM THE ARTIFACT ALONE
+    // (r6's artifact recorded an inflated 0.903 efficiency and a 33%-
+    // understated eps from one stolen window, detectable only via side
+    // files). ~2 s per reading against a 660 s budget.
+    val probeQuiet = sys.env.get("GRAFT_PROBE_QUIET").map(_.toDouble)
+      .getOrElse(ProbeQuietSecs)
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def probe(label: String): Unit = probes += label -> cpuProbe()
+    probe("pre")
     // Protocol v3 (r5): 3 rounds × 1 sample per level, each level-session
     // warmed with a FULL-shape replay first. The measured first-sample
     // ramp (~3-5 s absolute — 10-15% of a high wall, ~4% of a low wall)
@@ -295,6 +363,7 @@ object Bench {
         }
         if (round % 2 == 0) { lowPhase(); highPhase() }
         else { highPhase(); lowPhase() }
+        probe(s"after_r$round")
       }
     }
     // single-batch reference samples LAST, on leftover budget only —
@@ -322,6 +391,7 @@ object Bench {
     //    the median across rounds tolerates one fully-stolen round.
     //  - MIN-PAIR (recorded alongside, r1-r3 comparability): best low vs
     //    best high across all rounds.
+    probe("post_scaling")
     val pairedEffs = pairLows.zip(pairHighs)
       .map { case (l, h) => l / (4.0 * h) }.toSeq
     val sortedEffs = pairedEffs.sorted
@@ -366,12 +436,43 @@ object Bench {
         spark.stop()
         times
       }
+    probe("post")
+
+    // --- window-quality verdict (probe readings + estimator internals;
+    // the rules encode round 4-6 forensics): a paired ratio ABOVE 1 means
+    // the low sample itself was stolen — the one failure mode that
+    // INFLATES efficiency — and is disqualifying on its own; probe
+    // readings over the quiet band or a wide low-wall spread mark
+    // contention that overstates wall times (degraded) ---
+    val worstProbe = probes.map(_._2).max / probeQuiet
+    val lowSpread = if (lows.size >= 2) lows.max / lows.min else 1.0
+    val reasons = scala.collection.mutable.ArrayBuffer.empty[String]
+    pairedEffs.zipWithIndex.filter(_._1 > 1.0).foreach { case (e, i) =>
+      reasons += f"paired ratio round$i $e%.3f > 1 - stolen LOW sample (inflates efficiency)"
+    }
+    probes.filter(_._2 > probeQuiet * 1.15).foreach { case (l, s) =>
+      reasons += f"probe $l $s%.2f s = ${s / probeQuiet}%.2fx quiet"
+    }
+    if (lowSpread > 1.25)
+      reasons += f"low-level walls spread $lowSpread%.2fx across rounds (mid-window steal drift)"
+    val quality =
+      if (pairedEffs.exists(_ > 1.0) || worstProbe > 1.6) "unusable"
+      else if (reasons.nonEmpty) "degraded"
+      else "clean"
+    val windowJson =
+      s""""window":{"quality":"$quality",""" +
+      s""""probe_quiet_secs":${f"$probeQuiet%.2f"},""" +
+      s""""probe_secs":${probes.map { case (l, s) =>
+        s""""$l":${f"$s%.2f"}""" }.mkString("{", ",", "}")},""" +
+      s""""worst_probe_over_quiet":${f"$worstProbe%.2f"},""" +
+      s""""low_spread":${f"$lowSpread%.2f"},""" +
+      s""""reasons":${reasons.map(r => s""""$r"""").mkString("[", ",", "]")}}"""
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"cdc_events_per_sec","value":${f"$epsHigh%.1f"},""" +
-      s""""unit":"events/sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""unit":"events/sec",$windowJson,"queries":$qs,"sf":"$sfDir",""" +
       s""""cdc":{"events":$nEvents,"batches":$batches,$single""" +
       s""""executors_low":1,"executors_high":4,"cores_per_executor":$execCores,""" +
       s""""secs_low":${f"$tLow%.2f"},"secs_high":${f"$tHigh%.2f"},""" +

@@ -91,7 +91,16 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     * newest once and caches it. */
   private def saveRegistry(entity: String, tree: Attr): Unit = {
     val d = registryDir(entity)
-    val json = Json.render(Infer.toJson(tree))
+    // Normalize the root ENVELOPE's maxLength to 0 before persisting: for
+    // the root array node it records the max docs one analyzer PARTITION
+    // happened to see — a batch-size/partition-layout artifact, not
+    // schema (it maps to no column; the reference re-infers per call and
+    // persists nothing, index.ts:14-41). Without this, a steady-state
+    // stream whose batch sizes vary re-versions the registry on every
+    // new high-water mark (caught by SoakSpec at 1000 batches).
+    val norm = new Attr(tree.name, tree.dataType, 0L)
+    tree.attributes.foreach { case (k, v) => norm.attributes.put(k, v) }
+    val json = Json.render(Infer.toJson(norm))
     val cached = Engine.registryCache.get(d.toString)
     val prior: Option[(Int, String)] =
       if (cached != null) Some(cached)
