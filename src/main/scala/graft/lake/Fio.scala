@@ -27,18 +27,18 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileStatus, FileSystem,
   *        `rename(2)` REPLACES an existing destination, so the `rename`
   *        strategy on such an FS would let a losing writer silently
   *        drop the winner's committed snapshot (ADVICE r6 #1).
-  *      - `rename` (default for everything else): write a uniquely-named
-  *        tmp file, then `rename(tmp, target)` — atomic and
-  *        create-exclusive under the HDFS rename contract (returns false
-  *        when the destination exists); a crash mid-write can only
-  *        orphan a tmp file, never publish a torn snapshot.
-  *      - `create`: single `create(target, overwrite=false)` stream —
-  *        the conditional-put seam for object stores, where the object
+  *      - `rename` (auto for remote stores whose rename FAILS on an
+  *        existing destination — probed once per scheme): write a
+  *        uniquely-named tmp file, then `rename(tmp, target)` — atomic
+  *        and create-exclusive under the HDFS rename contract; a crash
+  *        mid-write can only orphan a tmp file, never publish a torn
+  *        snapshot.
+  *      - `create` (auto for remote stores whose rename REPLACES —
+  *        S3A's copy-based rename; picking `rename` there would lose
+  *        concurrent commits): single `create(target, overwrite=false)`
+  *        stream — the conditional-put seam, where the object
   *        materializes atomically at stream close and create-no-overwrite
-  *        maps to a conditional PUT (S3 If-None-Match). Configure this
-  *        for stores whose rename is copy+replace (plain S3/S3A): the
-  *        HadoopCatalog-style caveat applies to `rename` there, not to
-  *        `create`.
+  *        maps to a conditional PUT (S3 If-None-Match).
   *  - [[append]] — metrics log. Local: kernel `O_APPEND`; HDFS: native
   *    `FileSystem.append`; stores that reject append (S3A throws
   *    `UnsupportedOperationException`) fall back transparently to
@@ -97,18 +97,52 @@ final class Fio(conf: Configuration) extends Serializable {
     finally out.close()
   }
 
+  /** Does this FileSystem's `rename` REPLACE an existing destination
+    * (POSIX/S3A semantics) instead of failing (the HDFS contract)?
+    * Probed ONCE per scheme per JVM with two throwaway files under
+    * `probeDir`: on replace-semantics stores the tmp-then-rename publish
+    * silently drops a concurrent writer's committed snapshot, so auto
+    * strategy resolution must not pick `rename` there. */
+  private[lake] def renameReplaces(fs: FileSystem, probeDir: HPath): Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    val cached = Fio.renameReplacesByScheme.get(scheme)
+    if (cached != null) return cached.booleanValue()
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val a = new HPath(probeDir, s".fio-probe-$tag-a")
+    val b = new HPath(probeDir, s".fio-probe-$tag-b")
+    fs.mkdirs(probeDir)
+    def put(p: HPath): Unit = {
+      val out = fs.create(p, true)
+      try out.write('x') finally out.close()
+    }
+    val replaces =
+      try {
+        put(a); put(b)
+        try fs.rename(a, b) // HDFS contract: false; POSIX/S3A: true
+        catch { case _: FileAlreadyExistsException => false }
+      } finally {
+        fs.delete(a, false); fs.delete(b, false)
+      }
+    Fio.renameReplacesByScheme.put(scheme, java.lang.Boolean.valueOf(replaces))
+    replaces
+  }
+
   /** Resolved publish strategy for `fs` (see class doc): explicit
     * `graft.fio.publish.<scheme>`, then `graft.fio.publish`, then auto —
-    * `link` on any RawLocalFileSystem-backed scheme (the only class
-    * where POSIX replace-rename makes `rename` lose commits), `rename`
-    * (HDFS contract) otherwise. */
-  private[lake] def publishMode(fs: FileSystem): String = {
+    * `link` on any RawLocalFileSystem-backed scheme (local files: the
+    * hard-link primitive is both atomic and cheapest), and for remote
+    * stores a ONE-TIME rename-semantics probe: HDFS-contract rename
+    * (fails on existing destination) → `rename`; replace-semantics
+    * rename (S3A's copy-based rename) → `create`, the conditional-put
+    * seam — picking `rename` there would lose concurrent commits. */
+  private[lake] def publishMode(fs: FileSystem, target: HPath): String = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
     Option(conf.get(s"graft.fio.publish.$scheme"))
       .orElse(Option(conf.get("graft.fio.publish")))
       .getOrElse(fs match {
         case _: RawLocalFileSystem => "link"
-        case _                     => "rename"
+        case _ =>
+          if (renameReplaces(fs, target.getParent)) "create" else "rename"
       })
   }
 
@@ -118,7 +152,7 @@ final class Fio(conf: Configuration) extends Serializable {
     * Strategy selection: [[publishMode]]. */
   def createExclusive(target: HPath, content: String): Boolean = {
     val fs = fsOf(target)
-    publishMode(fs) match {
+    publishMode(fs, target) match {
       case "link" =>
         val f = fs match {
           case r: RawLocalFileSystem => r.pathToFile(target)
@@ -300,6 +334,10 @@ object Fio {
 
   /** Rotating-part sequence (same-millisecond ordering within a process). */
   private val partSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Per-scheme memo of the rename-semantics probe (connector property). */
+  private val renameReplacesByScheme =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Test hook: forget probe results (a re-registered scheme may change). */
   private[graft] def clearAppendProbe(): Unit = appendable.clear()

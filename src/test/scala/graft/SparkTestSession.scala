@@ -21,6 +21,8 @@ object SparkTestSession {
       // control plane must survive it with the `create` publish strategy
       .config("spark.hadoop.fs.graftobj.impl", "graft.GraftObjFs")
       .config("spark.hadoop.graft.fio.publish.graftobj", "create")
+      // HDFS-rename-contract FileSystem (rename fails on existing dest)
+      .config("spark.hadoop.fs.grafthdfs.impl", "graft.GraftHdfsLikeFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
