@@ -469,6 +469,58 @@ class EngineSpec extends AnyFunSuite {
     e.maintain("pq", vacuumGraceMs = 0L)
   }
 
+  test("consistent views DEGRADE to a verified current cut when the common cut can never materialize") {
+    // ADVICE r6 #3: the degradation path (a cut whose segments were GC'd
+    // before it was ever pinned re-derives identically forever) used to
+    // FORCE-pin the iteration-top snapshots without the materialized()
+    // verify — a stale head in that window could register dead views.
+    // Now it re-reads the log head at pin time and keeps the verify.
+    // This test manufactures the unreadable-forever cut deterministically.
+    val (e, _) = newEngine()
+    def doc(id: String, rev: String, v: String) =
+      s"""{"id":"$id","rev":"$rev","v":"$v","items":[{"id":"i-$id","w":"$v"}]}"""
+    e.applyEvents("dg", Seq(
+      (1L, "insert", doc("d1", "1", "a"))).toDF("lsn", "op", "doc"), "dv:0")
+    e.applyEvents("dg", Seq(
+      (2L, "update", doc("d1", "2", "b"))).toDF("lsn", "op", "doc"), "dv:1")
+    // the root advances ALONE: dv:1 stays the newest COMMON tag, so the
+    // cut resolves to an OLD root snapshot …
+    val rootSpec = tablesOf(e, "dg").find(_.isRoot).get
+    val rootLake = e.table(rootSpec)
+    val extra = rootLake.read().withColumn("V", lit("ROOTONLY"))
+      .withColumn("_seq", lit(10L))
+    rootLake.merge(extra, rootSpec.keyColumns, "ID", "dv:2",
+      rowSeqCol = Some("_seq"))
+    // … compaction makes the old snapshot's delta segments cut-only …
+    rootLake.compactAll("cpt")
+    val cur = rootLake.snapshot()
+    val cutSnap = rootLake.snapshotVersions().iterator
+      .map(rootLake.snapshotAt).find(_.hasCommit("dv:1")).get
+    val curPaths = cur.segments.map(_.path).toSet
+    val cutOnly = cutSnap.segments.filterNot(s => curPaths.contains(s.path))
+    assert(cutOnly.nonEmpty, "scenario needs cut-only segments")
+    // … and deleting them makes the cut unreadable FOREVER
+    cutOnly.foreach { seg =>
+      val p = java.nio.file.Paths.get(rootLake.root, rootLake.name, seg.path)
+        .normalize()
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().forEachRemaining(x =>
+          java.nio.file.Files.deleteIfExists(x))
+      finally s.close()
+    }
+    assert(!rootLake.materialized(cutSnap))
+    // the loop must settle on a VERIFIED current-state cut, not loop
+    // forever, not throw, not register views over deleted files
+    val views = e.registerConsistentViews("dg", prefix = "DG_")
+    assert(views.nonEmpty)
+    assert(spark.sql("SELECT V FROM DG_DG WHERE ID='d1'")
+      .head().getString(0) == "ROOTONLY")
+    assert(spark.sql("SELECT count(*) FROM DG_DG_ITEMS")
+      .head().getLong(0) == 1L)
+    e.releaseConsistentViews("dg")
+  }
+
   test("consistent views: a mid-commit batch is invisible until every table has it") {
     val (e, _) = newEngine()
     def doc(id: String, rev: String, v: String) =
