@@ -470,6 +470,27 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           graft.ops.Sampling.sampleBucket(col("doc_id")).as("sample_bucket"))
     }),
+    "sample_take" -> ((s, dir) => {
+      // EXACT-COUNT stratified take ("exactly N docs per language"):
+      // the k smallest buckets per stratum, ties by key — exact where
+      // rates are only exact in expectation; one window shuffle. The
+      // oracle replays the identical deterministic ranking over the
+      // re-derived bucket values.
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.stratifiedTake(docs, "doc_id", "lang",
+          Map("en" -> 40L, "de" -> 25L), defaultTarget = 10L)
+        .select(col("doc_id"), col("lang"),
+          graft.ops.Sampling.sampleBucket(col("doc_id")).as("sample_bucket"))
+    }),
+    "sample_split" -> ((s, dir) => {
+      // disjoint deterministic train/val/test assignment: pure map-side
+      // CASE over the native bucket kernel — a doc never migrates
+      // between splits as the corpus grows (leakage guarantee)
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.split(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
 
     // ---- multimodal (REAL codecs: PPM/BMP/PNG/JPEG/WAV/frame stream) ----
     "mm_decode" -> ((s, dir) => {
@@ -664,6 +685,34 @@ object SparkEntry {
       "__IVFPROBES__" -> cells.mkString(", "))
   }
 
+  /** HUGEINT mod-2^64 DuckDB replica of the splitmix64 sample-bucket
+    * kernel over `documents`, shared by the sampling oracles: golden-
+    * gamma multiply + two xor-shift/multiply finalizer rounds (64×64
+    * products split 32/32 so INT128 never overflows), unsigned top-24
+    * extraction. Ends with CTE `buckets(doc_id, lang, sample_bucket)`;
+    * append `, more_ctes…` or a SELECT. */
+  private val SampleBucketsCte: String =
+    """WITH z0s AS (
+      |  SELECT doc_id, lang,
+      |    (doc_id::HUGEINT * 11400714819323198485::HUGEINT)
+      |      % 18446744073709551616::HUGEINT AS z0
+      |  FROM documents),
+      |y1s AS (SELECT doc_id, lang,
+      |  xor(z0::UBIGINT, (z0 // 1073741824)::UBIGINT)::HUGEINT AS y1 FROM z0s),
+      |z1s AS (SELECT doc_id, lang,
+      |  ((y1 % 4294967296) * 13787848793156543929::HUGEINT
+      |   + (((y1 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296)
+      |     * 4294967296) % 18446744073709551616::HUGEINT AS z1 FROM y1s),
+      |y2s AS (SELECT doc_id, lang,
+      |  xor(z1::UBIGINT, (z1 // 134217728)::UBIGINT)::HUGEINT AS y2 FROM z1s),
+      |z2s AS (SELECT doc_id, lang,
+      |  ((y2 % 4294967296) * 10723151780598845931::HUGEINT
+      |   + (((y2 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296)
+      |     * 4294967296) % 18446744073709551616::HUGEINT AS z2 FROM y2s),
+      |buckets AS (SELECT doc_id, lang,
+      |  CAST(xor(z2::UBIGINT, (z2 // 2147483648)::UBIGINT) // 1099511627776
+      |    AS BIGINT) AS sample_bucket FROM z2s)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cdc_latest_per_key" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
@@ -827,31 +876,38 @@ object SparkEntry {
     // then the per-stratum threshold join (zh absent -> default 1677721
     // = floor(0.10 * 2^24)). Verified byte-exact on all docs.
     "sample_stratified" ->
-      """WITH z0s AS (
-        |  SELECT doc_id, lang,
-        |    (doc_id::HUGEINT * 11400714819323198485::HUGEINT)
-        |      % 18446744073709551616::HUGEINT AS z0
-        |  FROM documents),
-        |y1s AS (SELECT doc_id, lang,
-        |  xor(z0::UBIGINT, (z0 // 1073741824)::UBIGINT)::HUGEINT AS y1 FROM z0s),
-        |z1s AS (SELECT doc_id, lang,
-        |  ((y1 % 4294967296) * 13787848793156543929::HUGEINT
-        |   + (((y1 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296)
-        |     * 4294967296) % 18446744073709551616::HUGEINT AS z1 FROM y1s),
-        |y2s AS (SELECT doc_id, lang,
-        |  xor(z1::UBIGINT, (z1 // 134217728)::UBIGINT)::HUGEINT AS y2 FROM z1s),
-        |z2s AS (SELECT doc_id, lang,
-        |  ((y2 % 4294967296) * 10723151780598845931::HUGEINT
-        |   + (((y2 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296)
-        |     * 4294967296) % 18446744073709551616::HUGEINT AS z2 FROM y2s),
-        |buckets AS (SELECT doc_id, lang,
-        |  CAST(xor(z2::UBIGINT, (z2 // 2147483648)::UBIGINT) // 1099511627776
-        |    AS BIGINT) AS sample_bucket FROM z2s),
+      s"""$SampleBucketsCte,
         |rates(lang, thresh) AS (VALUES
         |  ('en', 838860), ('de', 3355443), ('fr', 8388608), ('es', 13421772))
         |SELECT b.doc_id, b.lang, b.sample_bucket
         |FROM buckets b LEFT JOIN rates r USING (lang)
         |WHERE b.sample_bucket < coalesce(r.thresh, 1677721)""".stripMargin,
+
+    // exact-count stratified take: per-stratum top-k by bucket (ties by
+    // doc_id) — DuckDB re-derives the bucket VALUE and replays the same
+    // deterministic ranking
+    "sample_take" ->
+      s"""$SampleBucketsCte,
+        |targets(lang, t) AS (VALUES ('en', 40), ('de', 25))
+        |SELECT doc_id, lang, sample_bucket FROM (
+        |  SELECT b.doc_id, b.lang, b.sample_bucket,
+        |    coalesce(t.t, 10) AS tgt,
+        |    row_number() OVER (PARTITION BY b.lang
+        |      ORDER BY b.sample_bucket, b.doc_id) AS rn
+        |  FROM buckets b LEFT JOIN targets t USING (lang))
+        |WHERE rn <= tgt""".stripMargin,
+
+    // disjoint deterministic split: cumulative bucket thresholds computed
+    // by the SAME Scala expression the operator uses (no literal drift)
+    "sample_split" ->
+      s"""$SampleBucketsCte
+        |SELECT doc_id, lang,
+        |  CASE WHEN sample_bucket < ${graft.ops.Sampling.thresholdOf(0.8)}
+        |         THEN 'train'
+        |       WHEN sample_bucket < ${graft.ops.Sampling.thresholdOf(0.8 + 0.1)}
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM buckets""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

@@ -115,4 +115,60 @@ object Sampling {
         coalesce(col("_g_thresh"), lit(thresholdOf(defaultRate))))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Deterministic DISJOINT corpus split (train/val/test): label each row
+    * with the first part whose cumulative rate covers its key-bucket.
+    * Zero-shuffle — one native-kernel column plus a CASE chain of integer
+    * literals, fused into the scan like [[uniformSample]]. Membership is
+    * a pure function of the KEY, so splits are stable as the corpus grows
+    * (a doc never migrates between train and test across runs — the
+    * leakage guarantee recipes need), and the FIRST part at rate r is
+    * exactly [[uniformSample]]'s sample at r (nesting by construction).
+    * Rates must sum to 1; the last threshold is pinned to the full bucket
+    * space so float rounding can never leave an unlabeled row. */
+  def split(df: DataFrame, keyCol: String,
+      parts: Seq[(String, Double)], labelCol: String = "split"): DataFrame = {
+    require(parts.nonEmpty, "split needs at least one part")
+    require(parts.map(_._2).forall(r => r >= 0.0 && r <= 1.0),
+      "part rates must be in [0,1]")
+    require(math.abs(parts.map(_._2).sum - 1.0) < 1e-9,
+      s"part rates must sum to 1, got ${parts.map(_._2).sum}")
+    val cum = parts.scanLeft(0.0) { case (acc, (_, r)) => acc + r }.tail
+    val thresholds = cum.init.map(thresholdOf) :+ BucketSpace
+    val b = sampleBucket(keyAsLong(df, keyCol))
+    val labeled = parts.map(_._1).zip(thresholds)
+      .foldRight(lit(null).cast("string")) { case ((label, t), els) =>
+        when(b < lit(t), lit(label)).otherwise(els)
+      }
+    df.withColumn(labelCol, labeled)
+  }
+
+  /** Deterministic EXACT-COUNT stratified take: the `target` smallest
+    * key-buckets per stratum (ties broken by the key itself) — the
+    * "exactly N docs per language" corpus recipe. Counts are exact where
+    * rate-based sampling is only exact in expectation; nesting still
+    * holds (`k₁ ≤ k₂ ⇒ take₁ ⊆ take₂`: the per-stratum order is fixed).
+    * Cost: ONE shuffle (window partitioned by stratum, sorted by the
+    * 24-bit bucket) against rate-sampling's zero — at 100 TB use this
+    * when exact counts matter, rates when ±ε is fine. Stratum skew is
+    * the partition-by column's skew: AQE splits oversized partitions,
+    * and the sort key is a dense int so spills stay columnar-cheap. */
+  def stratifiedTake(df: DataFrame, keyCol: String, strataCol: String,
+      targets: Map[String, Long], defaultTarget: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targetsDf = targets.toSeq.toDF(strataCol, "_g_target")
+    val b = sampleBucket(keyAsLong(df, keyCol))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("_g_bucket"), col(keyCol))
+    df.withColumn("_g_bucket", b)
+      // null keys have no identity to rank by (same rule as uniformSample)
+      // — and under asc-nulls-first they would silently eat take slots
+      .filter(col("_g_bucket").isNotNull)
+      .join(broadcast(targetsDf), Seq(strataCol), "left")
+      .withColumn("_g_rn", row_number().over(w))
+      .filter(col("_g_rn") <= coalesce(col("_g_target"), lit(defaultTarget)))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -687,6 +687,82 @@ class OpsSpec extends AnyFunSuite {
     assert(again == s10)
   }
 
+  test("sampling: split is a stable disjoint partition consistent with uniformSample") {
+    val parts = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.split(documents, "doc_id", parts)
+    // total partition: every row labeled, labels exhaustive and disjoint
+    assert(out.count() == documents.count())
+    assert(out.filter(col("split").isNull).count() == 0)
+    val byLabel = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // the FIRST part IS the uniform sample at its rate (nesting contract)
+    val train = out.filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val uni80 = Sampling.uniformSample(documents, "doc_id", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(train == uni80)
+    // membership is a pure key function: growing the corpus never
+    // migrates an existing doc between splits (the leakage guarantee)
+    val half = documents.filter(col("doc_id") % 2 === 0)
+    val halfTrain = Sampling.split(half, "doc_id", parts)
+      .filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(halfTrain == train.filter(_ % 2 == 0))
+    // null keys have no identity: label is null, not an arbitrary split
+    val withNull = Seq(Some(1L), None).toDF("doc_id")
+    assert(Sampling.split(withNull, "doc_id", parts)
+      .filter(col("doc_id").isNull).head().getString(1) == null)
+    // malformed recipes rejected
+    intercept[IllegalArgumentException] {
+      Sampling.split(documents, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("sampling: stratifiedTake returns EXACT per-stratum counts, nested and stable") {
+    val out = Sampling.stratifiedTake(documents, "doc_id", "lang",
+      Map("en" -> 40L, "de" -> 25L), defaultTarget = 10L)
+    assert(out.columns.toSeq == documents.columns.toSeq)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = documents.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == math.min(40L, totals("en")))
+    assert(byLang("de") == math.min(25L, totals("de")))
+    totals.keySet.diff(Set("en", "de")).foreach { l =>
+      assert(byLang(l) == math.min(10L, totals(l)), s"default target for $l")
+    }
+    // nesting: a larger take strictly extends a smaller one per stratum
+    val small = Sampling.stratifiedTake(documents, "doc_id", "lang",
+      Map("en" -> 15L), defaultTarget = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    val big = Sampling.stratifiedTake(documents, "doc_id", "lang",
+      Map("en" -> 40L), defaultTarget = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big) && small.size == 15 && big.size ==
+      math.min(40L, totals("en")))
+    // consistency with rate sampling: the take is a PREFIX of the
+    // bucket order, so it is contained in any uniform sample whose
+    // threshold exceeds its largest taken bucket
+    val maxBucket = Sampling.stratifiedTake(documents, "doc_id", "lang",
+      Map("en" -> 15L), defaultTarget = 0L)
+      .select(Sampling.sampleBucket(col("doc_id")).as("b"))
+      .agg(max("b")).head().getLong(0)
+    val rate = (maxBucket + 1).toDouble / Sampling.BucketSpace
+    val uni = Sampling.uniformSample(
+      documents.filter(col("lang") === "en"), "doc_id", rate)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(uni))
+    // null keys are dropped, never rank first
+    val withNull = documents.select(
+      when(col("doc_id") === 0L, lit(null)).otherwise(col("doc_id"))
+        .as("doc_id"), col("lang"))
+    val tookNull = Sampling.stratifiedTake(withNull, "doc_id", "lang",
+      Map.empty, defaultTarget = 1000000L)
+      .filter(col("doc_id").isNull).count()
+    assert(tookNull == 0L)
+  }
+
   test("sampling: stratified rates honored per stratum, default path, column order") {
     val rates = Map("en" -> 0.0, "de" -> 1.0)
     val out = Sampling.stratifiedSample(documents, "doc_id", "lang",

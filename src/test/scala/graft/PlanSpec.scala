@@ -157,4 +157,22 @@ class PlanSpec extends AnyFunSuite {
       s"rate table not broadcast:\n${p.take(1500)}")
     assert(!p.contains("ScalaUDF"), "sampling kernel fell back to a UDF")
   }
+
+  test("sample_split: pure map-side CASE — no Exchange, no join, no UDF") {
+    val p = plan("sample_split")
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges == 0, s"split shuffled or broadcast something:\n$p")
+    assert(!p.contains("Join"), s"split must not join:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF"), "split kernel fell back to a UDF")
+  }
+
+  test("sample_take: exactly ONE corpus shuffle (the per-stratum window), targets broadcast") {
+    val p = plan("sample_take")
+    val shuffles = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(shuffles == 1,
+      s"exact-count take should cost exactly one hash exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"targets table not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF"), "take kernel fell back to a UDF")
+  }
 }
