@@ -455,6 +455,17 @@ object Bench {
     }
     if (lowSpread > 1.25)
       reasons += f"low-level walls spread $lowSpread%.2fx across rounds (mid-window steal drift)"
+    // Paired-efficiency dispersion: under a stationary host the per-round
+    // ratios cluster (r7-w2 spread 1.03x, r7-w3 1.24x); a spread beyond
+    // 1.3x means steal landed INSIDE one side of some round — the failure
+    // mode that deflates ratios while every between-phase probe reads
+    // quiet (r7-w4: paired [0.595,0.545,0.752] = 1.38x spread, probes all
+    // <=1.06x quiet). The median still bounds it, but the window is not
+    // stationary and can't be called clean.
+    val effSpread =
+      if (pairedEffs.size >= 2) pairedEffs.max / pairedEffs.min else 1.0
+    if (effSpread > 1.3)
+      reasons += f"paired efficiencies spread $effSpread%.2fx across rounds (intra-phase steal; non-stationary window)"
     val quality =
       if (pairedEffs.exists(_ > 1.0) || worstProbe > 1.6) "unusable"
       else if (reasons.nonEmpty) "degraded"
@@ -466,6 +477,7 @@ object Bench {
         s""""$l":${f"$s%.2f"}""" }.mkString("{", ",", "}")},""" +
       s""""worst_probe_over_quiet":${f"$worstProbe%.2f"},""" +
       s""""low_spread":${f"$lowSpread%.2f"},""" +
+      s""""eff_spread":${f"$effSpread%.2f"},""" +
       s""""reasons":${reasons.map(r => s""""$r"""").mkString("[", ",", "]")}}"""
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
