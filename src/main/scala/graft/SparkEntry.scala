@@ -67,6 +67,31 @@ object SparkEntry {
       lake
     })
 
+  /** Changefeed horizon: the tail's midpoint lsn. `cdc_changefeed` feeds
+    * every net change with lsn ≥ CfCut; the two-phase lake below replays
+    * the same split as two separate batches so `cdc_changefeed_diff` can
+    * diff the two resulting snapshot VERSIONS. */
+  val CfCut = 1000L
+
+  // Two-phase replay of the SAME tail (lsn < CfCut, then the rest) — the
+  // version pair brackets phase 2, pinned against vacuum per the
+  // documented feed protocol. Built once per session.
+  private val cfLakes = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, Int, Int)]())
+  private def ensureTwoPhaseLake(s: SparkSession): (String, Int, Int) =
+    cfLakes.computeIfAbsent(s, _ => {
+      val lake = java.nio.file.Files
+        .createTempDirectory("graft-entry-lake-cf-").toString
+      val engine = new Engine(s, lake, numBuckets = 16)
+      val ev = EventGen.events(s, entryParams, 8).toDF()
+      engine.applyEvents("repos", ev.filter(col("lsn") < CfCut), "cf:0")
+      val t = entryRootTable(s, lake)
+      val v1 = t.currentVersion()
+      t.pinSnapshot(v1)
+      engine.applyEvents("repos", ev.filter(col("lsn") >= CfCut), "cf:1")
+      (lake, v1, t.currentVersion())
+    })
+
   /** The point-lookup key set: two hot-repo keys that certainly exist,
     * one mid-tail key, and one GUARANTEED-ABSENT key — `repo-9999` is
     * outside EventGen's repo id space at every SF, so the harness
@@ -105,6 +130,24 @@ object SparkEntry {
         .filter(col("rn") === 1 && col("event_type") =!= "error")
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("value").as("last_value"))
+    }),
+    "cdc_asof_join" -> ((s, dir) => {
+      // AS-OF temporal join (ops.AsOf): each purchase picks the user's
+      // newest click at-or-before it — union-and-sweep, ONE key shuffle,
+      // no range-join explosion (a hot user costs a bigger sort, never a
+      // cross product). DuckDB verifies with its NATIVE ASOF JOIN — a
+      // structurally different algorithm over the same contract.
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 2).as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 2).as("click_value"))
+      graft.ops.AsOf.join(purchases, clicks, Seq("user_id"), "event_id")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("purchase_value"), col("event_id_asof").as("click_id"),
+          col("click_value"))
     }),
     "cdc_incr_skip" -> ((s, dir) => {
       // revision-skip shape: later events whose (user_id, value) pair
@@ -545,6 +588,32 @@ object SparkEntry {
           sha2(col("CONTENT"), 256).as("content_sha"))
         .orderBy("ID")
     }),
+    "cdc_changefeed" -> ((s, dir) => {
+      // CDC OUTPUT, seq space (LakeTable.readChangesSince): the net
+      // changes a downstream consumer applies to advance from lsn CfCut-1
+      // to the current state — post-horizon winners as upserts, net
+      // tombstones as deletes. The seq filter runs BEFORE merge-on-read
+      // resolution (monotonicity makes that exact) and pushes into the
+      // parquet scan, so cost tracks changed data, not the table.
+      val table = entryRootTable(s, ensureEntryLake(s))
+      table.readChangesSince(CfCut - 1)
+        .select(col("ID"), col("REV"),
+          sha2(col("CONTENT"), 256).as("content_sha"),
+          col("_change_type").as("change_type"),
+          col("_change_seq").as("change_lsn"))
+    }),
+    "cdc_changefeed_diff" -> ((s, dir) => {
+      // CDC OUTPUT, version space (LakeTable.readChangesBetween): the
+      // classified insert/update/delete diff of the two snapshot versions
+      // bracketing phase 2 of the two-phase replay — post-images for
+      // insert/update, pre-images for delete, bucket-pruned to segments
+      // that changed, aligned across the mid-tail schema evolution.
+      val (lake, v1, v2) = ensureTwoPhaseLake(s)
+      entryRootTable(s, lake).readChangesBetween(v1, v2)
+        .select(col("ID"), col("REV"),
+          sha2(col("CONTENT"), 256).as("content_sha"),
+          col("_change_type").as("change_type"))
+    }),
   )
 
   /** Deterministic query vector: the embedding of vec_id 0. */
@@ -725,6 +794,13 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "cdc_asof_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |       round(p.value, 2) AS purchase_value,
+        |       c.event_id AS click_id, round(c.value, 2) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.event_id >= c.event_id""".stripMargin,
     "cdc_incr_skip" ->
       """WITH mid AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS m FROM events),
         |early AS (SELECT DISTINCT user_id, value FROM events, mid
@@ -868,6 +944,65 @@ object SparkEntry {
          |FROM w WHERE rn = 1 AND op <> 'delete'
          |  AND json_extract_string(doc, '$$.id') IN
          |    (${PointLookupIds.map(id => s"'$id'").mkString(", ")})""".stripMargin,
+
+    // CDC OUTPUT, seq space: winners of the replayed tail with winning
+    // lsn past the horizon — an upsert-winner surfaces as its post-image,
+    // a delete-winner as a bare tombstone (null payload). Exactly
+    // readChangesSince's net semantics: a key whose winner predates the
+    // horizon has NO post-horizon rows (lsn is monotone per key), so it
+    // must not appear.
+    "cdc_changefeed" ->
+      s"""WITH w AS (
+         |  SELECT lsn, op, doc, row_number() OVER (
+         |      PARTITION BY json_extract_string(doc, '$$.id')
+         |      ORDER BY lsn DESC) AS rn
+         |  FROM (SELECT DISTINCT lsn, op, doc
+         |        FROM read_parquet('__OUTDIR__/engine_events/*.parquet')))
+         |SELECT json_extract_string(doc, '$$.id') AS ID,
+         |       CASE WHEN op = 'delete' THEN NULL
+         |            ELSE json_extract_string(doc, '$$.rev') END AS REV,
+         |       CASE WHEN op = 'delete' THEN NULL
+         |            ELSE sha256(json_extract_string(doc, '$$.content'))
+         |       END AS content_sha,
+         |       CASE WHEN op = 'delete' THEN 'delete'
+         |            ELSE 'upsert' END AS change_type,
+         |       lsn AS change_lsn
+         |FROM w WHERE rn = 1 AND lsn >= $CfCut""".stripMargin,
+
+    // CDC OUTPUT, version space: independent state construction at BOTH
+    // endpoints (winners among lsn < cut vs winners overall), full outer
+    // join, classify — insert (absent→present), update (rev moved; the
+    // generator's rev embeds the event index, so any state change moves
+    // it), delete (present→absent, pre-image). Keys untouched or
+    // re-asserted identical emit nothing on either side.
+    "cdc_changefeed_diff" ->
+      s"""WITH d AS (SELECT DISTINCT lsn, op, doc
+         |           FROM read_parquet('__OUTDIR__/engine_events/*.parquet')),
+         |pre AS (
+         |  SELECT json_extract_string(doc, '$$.id') AS id,
+         |         json_extract_string(doc, '$$.rev') AS rev,
+         |         sha256(json_extract_string(doc, '$$.content')) AS sha
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY json_extract_string(doc, '$$.id')
+         |          ORDER BY lsn DESC) AS rn FROM d WHERE lsn < $CfCut)
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |post AS (
+         |  SELECT json_extract_string(doc, '$$.id') AS id,
+         |         json_extract_string(doc, '$$.rev') AS rev,
+         |         sha256(json_extract_string(doc, '$$.content')) AS sha
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY json_extract_string(doc, '$$.id')
+         |          ORDER BY lsn DESC) AS rn FROM d)
+         |  WHERE rn = 1 AND op <> 'delete')
+         |SELECT coalesce(post.id, pre.id) AS ID,
+         |       coalesce(post.rev, pre.rev) AS REV,
+         |       coalesce(post.sha, pre.sha) AS content_sha,
+         |       CASE WHEN pre.id IS NULL THEN 'insert'
+         |            WHEN post.id IS NULL THEN 'delete'
+         |            ELSE 'update' END AS change_type
+         |FROM post FULL JOIN pre ON post.id = pre.id
+         |WHERE post.id IS NULL OR pre.id IS NULL
+         |   OR post.rev <> pre.rev""".stripMargin,
 
     // full value-exact replica of the splitmix64 sample-bucket kernel
     // (ops.Sampling) in HUGEINT mod-2^64 arithmetic: golden-gamma

@@ -392,6 +392,111 @@ final class LakeTable(val spark: SparkSession, val root: String,
     base.filter(cond)
   }
 
+  // ---------- changefeed (CDC OUTPUT — the lake as an incremental source) ----
+
+  /** Incremental read in VISIBILITY-SEQ space (Hudi incremental query /
+    * Iceberg incremental scan analogue): the net changes a downstream
+    * consumer must apply to advance from `horizonSeq` to the CURRENT
+    * snapshot. Emits the table schema plus `_change_type` ("upsert" |
+    * "delete") and `_change_seq` (the winning row's visibility seq —
+    * event lsn for lsn-domain tables, commit version for commit-domain).
+    *
+    * Correct under compaction WITHOUT time travel, by seq monotonicity:
+    * a key's current winner carries the key's max seq, so restricting the
+    * raw scan to `seq > horizonSeq` BEFORE merge-on-read resolution
+    * yields exactly the true current winners of post-horizon-touched
+    * keys — pre-horizon rows can never win against a post-horizon row.
+    * The seq predicate pushes into the parquet reader (row-group stats
+    * prune untouched files), so cost tracks the CHANGED data, not the
+    * table.
+    *
+    * Net semantics (the consumer applies upserts as MERGE, deletes
+    * idempotently): intermediate revisions inside the window are not
+    * replayed, and a key both created and deleted within the window
+    * surfaces as a bare delete (its pre-horizon absence is unknowable
+    * post-compaction; deleting an absent key is a no-op downstream).
+    * `horizonSeq` must lie within the delete-retention bound — compaction
+    * with `expireTombstonesBelow` drops tombstones older than that
+    * horizon, silencing older deletes (same contract as Hudi/Paimon
+    * changelog retention). */
+  def readChangesSince(horizonSeq: Long): DataFrame = {
+    val s = snapshot()
+    val raw = readRaw(s, _ => true).filter(col(SeqCol) > horizonSeq)
+    val live = resolveRows(raw, s.keyCols, s.rootKey)
+      .withColumn("_change_type", lit("upsert"))
+    // net deletes: newest post-horizon tombstone per root key, minus root
+    // keys that a newer live row re-created
+    val deadSeq = raw.filter(col(DelCol) === true)
+      .groupBy(col(s.rootKey)).agg(max(col(SeqCol)).as(SeqCol))
+    val liveMax = raw.filter(col(DelCol).isNull || !col(DelCol))
+      .groupBy(col(s.rootKey)).agg(max(col(SeqCol)).as("_livemax"))
+    val dead = align(
+      deadSeq.join(liveMax, Seq(s.rootKey), "left")
+        .filter(col("_livemax").isNull || col(SeqCol) > col("_livemax"))
+        .drop("_livemax"),
+      s.schema.add(SeqCol, LongType))
+      .withColumn("_change_type", lit("delete"))
+    live.unionByName(dead)
+      .withColumnRenamed(SeqCol, "_change_seq")
+      .select((s.schema.fieldNames.toSeq.map(col) ++
+        Seq(col("_change_type"), col("_change_seq"))): _*)
+  }
+
+  /** Classified row-level diff of two snapshot VERSIONS (Delta CDF /
+    * Iceberg changelog-scan analogue): every key whose state differs
+    * between `fromV` and `toV`, tagged `_change_type` "insert" (absent →
+    * present), "update" (present → present, any column differs — emitted
+    * as the POST-image), or "delete" (present → absent — emitted as the
+    * PRE-image). Keys touched but left byte-identical emit nothing (net
+    * semantics, idempotent re-merges invisible).
+    *
+    * Scale shape: only buckets whose SEGMENT SET differs between the two
+    * snapshots are read (any data change replaces the bucket's segment
+    * list; maintenance-only rewrites add no-op diff work), resolved at
+    * both versions and full-outer-joined on the merge key — cost tracks
+    * touched buckets, not the table. The pre-side is aligned to `toV`'s
+    * schema, so the feed crosses schema-evolution boundaries (new
+    * columns read as null pre-images).
+    *
+    * `fromV` must still be materialized — [[pinSnapshot]] it for feeds
+    * held across queries; a vacuumed horizon throws here rather than
+    * misreading (Iceberg's expired-snapshot incremental-read contract). */
+  def readChangesBetween(fromV: Int, toV: Int): DataFrame = {
+    val cur = currentVersion()
+    require(fromV >= 1 && fromV <= toV && toV <= cur,
+      s"table $name: changefeed window [$fromV, $toV] outside 1..$cur")
+    val to = cachedSnapshot(toV)
+    val typed = to.schema.add("_change_type", StringType)
+    if (fromV == toV) return emptyDf(typed)
+    val from = cachedSnapshot(fromV)
+    require(materialized(from),
+      s"table $name: snapshot v$fromV was vacuumed — pin the feed horizon " +
+        "(pinSnapshot) or narrow the window")
+    def byBucket(s: Snapshot): Map[Int, Set[String]] =
+      s.segments.groupBy(_.bucket).map { case (b, xs) =>
+        b -> xs.map(_.path).toSet }
+    val fb = byBucket(from); val tb = byBucket(to)
+    val touched = (fb.keySet ++ tb.keySet)
+      .filter(b => fb.get(b) != tb.get(b))
+    val cols = to.schema.fieldNames.toSeq
+    def pack(df: DataFrame, tag: String): DataFrame =
+      df.select((to.keyCols.map(col) :+
+        struct(cols.map(col): _*).as(tag)): _*)
+    val pre = pack(align(resolve(from, seg => touched(seg.bucket)),
+      to.schema), "_pre")
+    val post = pack(resolve(to, seg => touched(seg.bucket)), "_post")
+    post.join(pre, to.keyCols.toSeq, "full_outer")
+      .filter(col("_post").isNull || col("_pre").isNull ||
+        !(col("_post") <=> col("_pre")))
+      .withColumn("_row", coalesce(col("_post"), col("_pre")))
+      .withColumn("_change_type",
+        when(col("_pre").isNull, lit("insert"))
+          .when(col("_post").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      .select((cols.map(c => col(s"_row.$c").as(c)) :+
+        col("_change_type")): _*)
+  }
+
   /** Root-key values `e` constrains the scan to, or None ("all keys").
     * And: intersection of constraints (either side may be unconstrained);
     * Or: union (both sides must be constrained, else everything). */

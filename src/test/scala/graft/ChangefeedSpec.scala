@@ -1,0 +1,200 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.LakeTable
+
+/** Changefeed (CDC OUTPUT) readers: seq-space incremental read
+  * (readChangesSince) and classified version diff (readChangesBetween) —
+  * net semantics, compaction survival, schema-evolution crossing,
+  * touched-bucket pruning, vacuumed-horizon rejection. */
+class ChangefeedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("ID", StringType, nullable = false),
+    StructField("V", StringType, nullable = true)))
+
+  private def newTable(maxDeltas: Int = 4): LakeTable = {
+    val t = new LakeTable(spark, SparkTestSession.tmpDir("graft-cfspec-"),
+      "T", numBuckets = 4, maxDeltas = maxDeltas)
+    t.create(schema, Seq("ID"), "ID")
+    t
+  }
+
+  private def df(rows: (String, String)*) = rows.toDF("ID", "V")
+
+  private def sinceMap(t: LakeTable, h: Long): Map[String, (String, String)] =
+    t.readChangesSince(h).collect()
+      .map(r => r.getString(0) -> (r.getString(2), Option(r.getString(1)).orNull))
+      .toMap // ID -> (change_type, V)
+
+  private def betweenMap(t: LakeTable, a: Int, b: Int): Map[String, (String, String)] =
+    t.readChangesBetween(a, b).collect()
+      .map { r =>
+        val ct = r.getString(r.fieldIndex("_change_type"))
+        r.getString(0) -> (ct, Option(r.getString(1)).orNull)
+      }.toMap
+
+  test("readChangesSince: commit domain — net upserts and deletes after horizon") {
+    val t = newTable()
+    t.merge(df("a" -> "1", "b" -> "1", "c" -> "1"), Seq("ID"), "ID", "c1")
+    val h = t.currentVersion().toLong
+    t.merge(df("b" -> "2", "d" -> "1"), Seq("ID"), "ID", "c2",
+      deleteRootKeys = Some(Seq("c").toDF("ID")))
+    val got = sinceMap(t, h)
+    assert(got == Map(
+      "b" -> ("upsert", "2"), "d" -> ("upsert", "1"), "c" -> ("delete", null)))
+    // horizon at head → empty feed; horizon 0 → full state as upserts
+    assert(t.readChangesSince(t.currentVersion().toLong).count() == 0)
+    val full = sinceMap(t, 0L)
+    assert(full.filter(_._2._1 == "upsert").keySet == Set("a", "b", "d"))
+  }
+
+  test("readChangesSince: intermediate revisions collapse (net, not replay)") {
+    val t = newTable()
+    t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
+    val h = t.currentVersion().toLong
+    t.merge(df("a" -> "2"), Seq("ID"), "ID", "c2")
+    t.merge(df("a" -> "3"), Seq("ID"), "ID", "c3")
+    val rows = t.readChangesSince(h).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(1) == "3") // only the final image
+  }
+
+  test("readChangesSince: lsn domain — horizon is an event lsn; change_seq carries it") {
+    val t = newTable()
+    val up1 = Seq(("a", "1", 100L), ("b", "1", 101L)).toDF("ID", "V", "lsn")
+    t.merge(up1, Seq("ID"), "ID", "c1", rowSeqCol = Some("lsn"))
+    val up2 = Seq(("b", "2", 205L)).toDF("ID", "V", "lsn")
+    t.merge(up2, Seq("ID"), "ID", "c2", rowSeqCol = Some("lsn"),
+      deleteRootKeys = Some(Seq(("a", 210L)).toDF("ID", "dlsn")))
+    val got = t.readChangesSince(101L).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(("b", "upsert", 205L), ("a", "delete", 210L)))
+    // a late event BELOW the horizon never surfaces, even applied after
+    t.merge(Seq(("c", "old", 50L)).toDF("ID", "V", "lsn"),
+      Seq("ID"), "ID", "c3", rowSeqCol = Some("lsn"))
+    assert(!t.readChangesSince(101L).collect().exists(_.getString(0) == "c"))
+  }
+
+  test("readChangesSince: survives compaction (winners keep seq, tombstones carried)") {
+    val t = newTable(maxDeltas = 2) // aggressive inline compaction
+    t.merge(df("a" -> "1", "b" -> "1"), Seq("ID"), "ID", "c1")
+    val h = t.currentVersion().toLong
+    t.merge(df("a" -> "2"), Seq("ID"), "ID", "c2")
+    t.merge(df("b" -> "2"), Seq("ID"), "ID", "c3",
+      deleteRootKeys = Some(Seq("a").toDF("ID")))
+    t.compactAll("cf-compact")
+    assert(t.snapshot().segments.forall(_.kind == "base"))
+    val got = sinceMap(t, h)
+    assert(got == Map("b" -> ("upsert", "2"), "a" -> ("delete", null)))
+  }
+
+  test("readChangesSince: create-then-delete inside the window → bare delete") {
+    val t = newTable()
+    t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
+    val h = t.currentVersion().toLong
+    t.merge(df("x" -> "1"), Seq("ID"), "ID", "c2")
+    t.merge(df(), Seq("ID"), "ID", "c3",
+      deleteRootKeys = Some(Seq("x").toDF("ID")))
+    val got = sinceMap(t, h)
+    assert(got == Map("x" -> ("delete", null))) // idempotent downstream no-op
+  }
+
+  test("readChangesBetween: insert/update/delete classification, net semantics") {
+    val t = newTable()
+    t.merge(df("a" -> "1", "b" -> "1", "c" -> "1", "z" -> "zz"),
+      Seq("ID"), "ID", "c1")
+    val v1 = t.currentVersion()
+    t.merge(df("b" -> "2", "d" -> "1", "z" -> "zz"), Seq("ID"), "ID", "c2",
+      deleteRootKeys = Some(Seq("c").toDF("ID")))
+    val v2 = t.currentVersion()
+    val got = betweenMap(t, v1, v2)
+    // z re-merged byte-identical → silent; a untouched → silent
+    assert(got == Map(
+      "b" -> ("update", "2"),   // post-image
+      "d" -> ("insert", "1"),
+      "c" -> ("delete", "1")))  // pre-image
+    // identical endpoints → empty; inverted/overrun windows → reject
+    assert(t.readChangesBetween(v2, v2).count() == 0)
+    intercept[IllegalArgumentException] { t.readChangesBetween(v2, v1) }
+    intercept[IllegalArgumentException] { t.readChangesBetween(0, v2) }
+    intercept[IllegalArgumentException] { t.readChangesBetween(v1, v2 + 99) }
+  }
+
+  test("readChangesBetween: crosses schema evolution (null pre-image for new columns)") {
+    val t = newTable()
+    t.merge(df("a" -> "1", "b" -> "1"), Seq("ID"), "ID", "c1")
+    val v1 = t.currentVersion()
+    t.evolve(schema.add("W", LongType), Seq("ID"), "ID")
+    t.merge(Seq(("b", "2", 7L)).toDF("ID", "V", "W"), Seq("ID"), "ID", "c2")
+    val v2 = t.currentVersion()
+    val rows = t.readChangesBetween(v1, v2).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "b" &&
+      r.getString(r.fieldIndex("_change_type")) == "update" &&
+      r.getLong(r.fieldIndex("W")) == 7L)
+    // an update whose only difference is the NEW column still surfaces
+    t.merge(Seq(("a", "1", 9L)).toDF("ID", "V", "W"), Seq("ID"), "ID", "c3")
+    val v3 = t.currentVersion()
+    val r2 = betweenMap(t, v2, v3)
+    assert(r2 == Map("a" -> ("update", "1")))
+  }
+
+  test("readChangesBetween: reads only touched buckets (behavioral proof)") {
+    val t = newTable()
+    val keys = (0 until 32).map(i => s"k$i")
+    t.merge(df(keys.map(k => k -> "v1"): _*), Seq("ID"), "ID", "c1")
+    val v1 = t.currentVersion()
+    t.merge(df("k0" -> "v2"), Seq("ID"), "ID", "c2")
+    val v2 = t.currentVersion()
+    // corrupt every bucket EXCEPT k0's, in BOTH snapshots' segment dirs:
+    // a touched-bucket-pruned diff never opens them; a full diff throws
+    val keep = t.bucketOfKey("k0")
+    t.snapshot().segments.filter(_.bucket != keep).foreach { seg =>
+      val segDir = java.nio.file.Paths.get(t.root, t.name, seg.path)
+        .normalize()
+      val fs = java.nio.file.Files.list(segDir)
+      try fs.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.write(p, "NOT PARQUET".getBytes("UTF-8"))
+        ()
+      }
+      finally fs.close()
+    }
+    val got = betweenMap(t, v1, v2)
+    assert(got == Map("k0" -> ("update", "v2")))
+    intercept[Throwable] { t.read().count() }
+  }
+
+  test("readChangesBetween: vacuumed horizon throws instead of misreading") {
+    val t = newTable(maxDeltas = 2)
+    t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
+    val v1 = t.currentVersion()
+    t.merge(df("a" -> "2"), Seq("ID"), "ID", "c2")
+    t.merge(df("a" -> "3"), Seq("ID"), "ID", "c3") // hits cap → compaction
+    val v2 = t.currentVersion()
+    t.vacuum(graceMs = 0)
+    val e = intercept[IllegalArgumentException] {
+      t.readChangesBetween(v1, v2)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // pinned horizons stay readable through the same vacuum pattern
+    val t2 = newTable(maxDeltas = 2)
+    t2.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
+    val p1 = t2.currentVersion()
+    t2.pinSnapshot(p1)
+    try {
+      t2.merge(df("a" -> "2"), Seq("ID"), "ID", "c2")
+      t2.merge(df("a" -> "3"), Seq("ID"), "ID", "c3")
+      t2.vacuum(graceMs = 0)
+      val got = betweenMap(t2, p1, t2.currentVersion())
+      assert(got == Map("a" -> ("update", "3")))
+    } finally t2.unpinSnapshot(p1)
+  }
+}

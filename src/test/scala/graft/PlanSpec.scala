@@ -130,6 +130,15 @@ class PlanSpec extends AnyFunSuite {
     assert(allowed.size < 16 && scanned.size <= allowed.size)
   }
 
+  test("cdc_changefeed: the seq-horizon filter pushes into the parquet scan") {
+    // the incremental read's whole scale story: `_gseq > horizon` must
+    // reach the reader (row-group stats then skip untouched data), and
+    // it must sit there BEFORE the merge-on-read window, not after
+    val p = plan("cdc_changefeed")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(_gseq.*"),
+      s"seq horizon not pushed to the scan:\n$p")
+  }
+
   test("dedup jaccard verify: native kernels — no Scala UDF in either plan") {
     // VERDICT r4 #2: shingle + jaccard verify kernels were the last
     // Scala UDFs on a dedup hot path; both queries route verifyJaccard
