@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, GraftSqlShims, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.lake.{Fio, LakeTable}
+
+/** STREAMING changefeed over a lake table — the CDC loop closed as a real
+  * Structured Streaming source:
+  *
+  * {{{
+  * spark.readStream.format("graft-changefeed")
+  *   .option("root", lakeRoot).option("table", "REPOS")
+  *   .load()                  // table schema + _change_type
+  * }}}
+  *
+  * Design (the Delta-source shape, rebuilt on this lake's snapshot log):
+  *  - OFFSETS ARE SNAPSHOT VERSIONS. `getOffset` is one tiny log-head
+  *    read — no data scan, no max(seq) job — so idle triggers cost
+  *    nothing at any table size.
+  *  - each micro-batch is `readChangesBetween(start, end)`: the
+  *    classified net diff (insert/update/delete), bucket-pruned to
+  *    segments that actually changed. Batch cost tracks the data that
+  *    moved between the two versions, never the table.
+  *  - the STARTING POSITION persists in the stream's checkpoint metadata
+  *    dir on first creation, so a restarted query reconstructs batch 0
+  *    identically (options: `startingVersion` = N | "latest" | default 1
+  *    = full-snapshot backfill as inserts).
+  *  - every offset this source hands to the engine is PINNED against
+  *    vacuum until `commit(end)` releases its predecessors — the
+  *    pin-then-verify protocol the lake's consistent views already use;
+  *    a horizon that was vacuumed before the pin (e.g. a checkpoint
+  *    older than retention) throws rather than misreads.
+  *
+  * The batch plan is wrapped `isStreaming = true` (MicroBatchExecution's
+  * v1 contract) via the one-line [[GraftSqlShims]] doorway. Schema is
+  * captured at source creation (streams are fixed-schema; post-creation
+  * lake evolution surfaces when the query restarts, same as Delta). */
+final class ChangefeedSource(
+    sqlContext: SQLContext,
+    metadataPath: String,
+    table: LakeTable,
+    startOpt: String,
+) extends Source {
+
+  private val spark = sqlContext.sparkSession
+  private val fio = new Fio(spark.sessionState.newHadoopConf())
+
+  // resolve-once starting version, durable in the stream checkpoint: a
+  // restart MUST rebuild batch 0 over the same window even if the table
+  // moved on (or the option said "latest", which is no longer latest)
+  private val baseVersion: Long = {
+    val f = new HPath(metadataPath, "graft-changefeed-base")
+    if (fio.exists(f)) fio.readString(f).trim.toLong
+    else {
+      val v = startOpt match {
+        case "latest" => table.currentVersion().toLong
+        case s => s.toLong
+      }
+      require(v >= 1 && v <= table.currentVersion(),
+        s"startingVersion $v outside 1..${table.currentVersion()}")
+      fio.writeString(f, v.toString)
+      v
+    }
+  }
+  table.pinSnapshot(baseVersion.toInt)
+  @volatile private var pinned: Set[Int] = Set(baseVersion.toInt)
+
+  override val schema: StructType = StructType(
+    table.snapshot().schema.fields.map(_.copy(nullable = true)) :+
+      org.apache.spark.sql.types.StructField("_change_type", StringType))
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = {
+    val v = table.currentVersion()
+    if (v > baseVersion) synchronized {
+      // pin before reporting (once per version — getOffset fires every
+      // trigger): the engine will read back to this version after
+      // arbitrary wall time; vacuum must not outrun the batch
+      if (!pinned.contains(v)) { table.pinSnapshot(v); pinned += v }
+    }
+    if (v <= baseVersion) None else Some(LongOffset(v.toLong))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(ver).getOrElse(baseVersion)
+    val to = ver(end)
+    val batch = table.readChangesBetween(from.toInt, to.toInt)
+      .select(schema.fieldNames.toSeq.map(col): _*)
+    val qe = batch.queryExecution
+    GraftSqlShims.streamingDataFrame(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      qe.toRdd, schema)
+  }
+
+  override def commit(end: Offset): Unit = {
+    val done = ver(end)
+    // keep `end` pinned — it is the FROM side of the next batch
+    val release = synchronized {
+      val r = pinned.filter(_ < done); pinned --= r; r
+    }
+    release.foreach(table.unpinSnapshot)
+  }
+
+  override def stop(): Unit = {
+    val release = synchronized { val r = pinned; pinned = Set.empty; r }
+    release.foreach(table.unpinSnapshot)
+  }
+}
+
+/** `format("graft-changefeed")` provider. Options: `root` (lake root),
+  * `table` (lake table name), `startingVersion` (N | "latest"; default 1
+  * = full backfill), `buckets` (opener default for pre-persistence
+  * snapshots; the persisted layout always wins). */
+final class ChangefeedSourceProvider
+    extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-changefeed"
+
+  private def open(sqlContext: SQLContext,
+      params: Map[String, String]): LakeTable = {
+    val root = params.getOrElse("root",
+      throw new IllegalArgumentException("graft-changefeed needs .option(\"root\", <lake root>)"))
+    val name = params.getOrElse("table",
+      throw new IllegalArgumentException("graft-changefeed needs .option(\"table\", <table name>)"))
+    val t = new LakeTable(sqlContext.sparkSession, root, name,
+      numBuckets = params.getOrElse("buckets", "16").toInt)
+    require(t.exists(), s"lake table $name does not exist under $root")
+    t
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val t = open(sqlContext, parameters)
+    (shortName(), StructType(
+      t.snapshot().schema.fields.map(_.copy(nullable = true)) :+
+        org.apache.spark.sql.types.StructField("_change_type", StringType)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangefeedSource(sqlContext, metadataPath,
+      open(sqlContext, parameters),
+      parameters.getOrElse("startingVersion", "1"))
+}

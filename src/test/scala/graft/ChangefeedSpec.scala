@@ -172,6 +172,112 @@ class ChangefeedSpec extends AnyFunSuite {
     intercept[Throwable] { t.read().count() }
   }
 
+  test("follower: MERGE-applying the feed converges to source state across batches") {
+    // the downstream-consumer loop the feed exists for: after each source
+    // batch, pull changes past the horizon, MERGE them into a follower
+    // table (upserts under the carried seq, deletes as tombstones), then
+    // advance the horizon. At-least-once delivery is exercised by
+    // re-applying one pull verbatim — LWW under the carried seq makes the
+    // replay a no-op.
+    val src = newTable()
+    val dst = newTable()
+    val batches = Seq(
+      (Seq(("a", "1", 10L), ("b", "1", 11L), ("c", "1", 12L)), Seq.empty[(String, Long)]),
+      (Seq(("b", "2", 20L), ("d", "1", 21L)), Seq(("c", 25L))),
+      (Seq.empty[(String, String, Long)], Seq(("a", 30L))),
+      (Seq(("c", "back", 40L), ("e", "1", 41L)), Seq(("e", 39L)))) // stale del loses
+    var horizon = 0L
+    batches.zipWithIndex.foreach { case ((ups, dels), i) =>
+      src.merge(ups.toDF("ID", "V", "lsn"), Seq("ID"), "ID", s"s$i",
+        deleteRootKeys =
+          if (dels.isEmpty) None else Some(dels.toDF("ID", "dlsn")),
+        rowSeqCol = Some("lsn"))
+      val feed = src.readChangesSince(horizon)
+      def applyOnce(tag: String): Unit = dst.merge(
+        feed.filter(col("_change_type") === "upsert")
+          .select(col("ID"), col("V"), col("_change_seq").as("lsn")),
+        Seq("ID"), "ID", tag,
+        deleteRootKeys = Some(feed.filter(col("_change_type") === "delete")
+          .select(col("ID"), col("_change_seq"))),
+        rowSeqCol = Some("lsn"))
+      applyOnce(s"d$i")
+      if (i == 1) applyOnce(s"d$i-redelivery") // at-least-once replay
+      val seen = feed.agg(max(col("_change_seq"))).head()
+      if (!seen.isNullAt(0)) horizon = seen.getLong(0)
+    }
+    def state(t: LakeTable) = t.read().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state(dst) == state(src))
+    assert(state(src) == Map("b" -> "2", "d" -> "1", "c" -> "back", "e" -> "1"))
+    // and the follower's own feed past the final horizon is empty
+    assert(dst.readChangesSince(horizon).count() == 0)
+  }
+
+  test("streaming source: readStream(graft-changefeed) backfills, tails, resumes, and a follower converges") {
+    import org.apache.spark.sql.DataFrame
+    val root = SparkTestSession.tmpDir("graft-cfstream-")
+    val ckpt = SparkTestSession.tmpDir("graft-cfstream-ckpt-")
+    val src = new LakeTable(spark, root, "SRC", numBuckets = 4)
+    src.create(schema, Seq("ID"), "ID")
+    src.merge(df("a" -> "1", "b" -> "1"), Seq("ID"), "ID", "c1") // pre-stream
+
+    val dst = newTable()
+    def startFollower() = spark.readStream.format("graft-changefeed")
+      .option("root", root).option("table", "SRC").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // ordered micro-batches → commit-domain LWW application works
+        dst.merge(
+          batch.filter(col("_change_type") =!= "delete").select("ID", "V"),
+          Seq("ID"), "ID", s"cf:$id",
+          deleteRootKeys = Some(
+            batch.filter(col("_change_type") === "delete").select("ID")))
+        ()
+      }.start()
+
+    def state(t: LakeTable) = t.read().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    val q1 = startFollower()
+    q1.processAllAvailable() // batch 0 = full backfill as inserts
+    assert(state(dst) == Map("a" -> "1", "b" -> "1"))
+
+    src.merge(df("b" -> "2", "c" -> "1"), Seq("ID"), "ID", "c2",
+      deleteRootKeys = Some(Seq("a").toDF("ID")))
+    q1.processAllAvailable() // tail batch: classified net diff
+    assert(state(dst) == Map("b" -> "2", "c" -> "1"))
+    q1.stop()
+
+    // changes land while the stream is DOWN; restart resumes from the
+    // checkpointed version offset and picks up exactly the gap
+    src.merge(df("c" -> "2", "d" -> "1"), Seq("ID"), "ID", "c3")
+    val q2 = startFollower()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(state(dst) == state(src))
+    assert(state(src) == Map("b" -> "2", "c" -> "2", "d" -> "1"))
+
+    // startingVersion=latest: a NEW subscriber sees only what happens
+    // after it subscribed — and its resolved base survives in ITS ckpt
+    val lateSeen = scala.collection.mutable.Set.empty[(String, String)]
+    val q3 = spark.readStream.format("graft-changefeed")
+      .option("root", root).option("table", "SRC")
+      .option("startingVersion", "latest").load()
+      .writeStream.option("checkpointLocation",
+        SparkTestSession.tmpDir("graft-cfstream-ckpt2-"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        lateSeen ++= batch.collect().map(r =>
+          r.getString(0) -> r.getString(r.fieldIndex("_change_type")))
+        ()
+      }.start()
+    q3.processAllAvailable()
+    assert(lateSeen.isEmpty) // no backfill
+    src.merge(df("e" -> "1"), Seq("ID"), "ID", "c4")
+    q3.processAllAvailable()
+    q3.stop()
+    assert(lateSeen.toSet == Set("e" -> "insert"))
+  }
+
   test("readChangesBetween: vacuumed horizon throws instead of misreading") {
     val t = newTable(maxDeltas = 2)
     t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
