@@ -278,6 +278,44 @@ class ChangefeedSpec extends AnyFunSuite {
     assert(lateSeen.toSet == Set("e" -> "insert"))
   }
 
+  test("streaming source: additive lake evolution mid-stream — fixed schema until restart") {
+    import org.apache.spark.sql.DataFrame
+    val root = SparkTestSession.tmpDir("graft-cfevo-")
+    val src = new LakeTable(spark, root, "SRC", numBuckets = 4)
+    src.create(schema, Seq("ID"), "ID")
+    src.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Int)]
+    def follow(ckpt: String) = spark.readStream.format("graft-changefeed")
+      .option("root", root).option("table", "SRC").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect()
+        if (rows.nonEmpty) seen += ((b.columns.toSeq, rows.length)); ()
+      }.start()
+
+    val ckpt = SparkTestSession.tmpDir("graft-cfevo-ckpt-")
+    val q = follow(ckpt)
+    q.processAllAvailable()
+    // additive evolution + new-column data arrive MID-STREAM: the live
+    // query keeps its captured schema (new column invisible), no crash
+    src.evolve(schema.add("W", LongType), Seq("ID"), "ID")
+    src.merge(Seq(("b", "1", 7L)).toDF("ID", "V", "W"), Seq("ID"), "ID", "c2")
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toSeq == Seq(
+      (Seq("ID", "V", "_change_type"), 1),
+      (Seq("ID", "V", "_change_type"), 1)))
+
+    // a restart (same checkpoint) re-captures the evolved schema
+    seen.clear()
+    src.merge(Seq(("c", "1", 9L)).toDF("ID", "V", "W"), Seq("ID"), "ID", "c3")
+    val q2 = follow(ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.toSeq == Seq((Seq("ID", "V", "W", "_change_type"), 1)))
+  }
+
   test("readChangesBetween: vacuumed horizon throws instead of misreading") {
     val t = newTable(maxDeltas = 2)
     t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")

@@ -13,6 +13,17 @@ class GraftHdfsLikeFs extends RawLocalFileSystem {
   override def getScheme: String = "grafthdfs"
   override def getUri: URI = URI.create("grafthdfs:///")
 
+  // JVM-global lock: real HDFS serializes rename inside the NameNode, so
+  // the exists-check and the move are one atomic step. Without it this
+  // emulation is check-then-act over POSIX rename(2) (which REPLACES),
+  // and two racing publishers can both "win" — a flake in the emulation,
+  // not in the publish strategy under test.
   override def rename(src: Path, dst: Path): Boolean =
-    if (exists(dst)) false else super.rename(src, dst)
+    GraftHdfsLikeFs.renameLock.synchronized {
+      if (exists(dst)) false else super.rename(src, dst)
+    }
+}
+
+object GraftHdfsLikeFs {
+  private val renameLock = new Object
 }
