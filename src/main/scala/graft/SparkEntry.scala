@@ -730,6 +730,7 @@ object SparkEntry {
     ensureIvfIndex(s, dir)
     ensureClusteredIvfIndex(s, dir)
     ensureEntryLake(s)
+    ensureTwoPhaseLake(s)
     ()
   }
 
