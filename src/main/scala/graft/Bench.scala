@@ -286,6 +286,17 @@ object Bench {
     val probes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def probe(label: String): Unit = probes += label -> cpuProbe()
     probe("pre")
+    // launch-residue settle (r7-w6 forensics: a stationary window was
+    // labeled degraded on the PRE probe alone — sbt/compile residue, not
+    // steal, since every in-window probe read quiet). A hot pre probe
+    // gets one settled retake after 10 s; BOTH readings stay in the
+    // artifact, and the verdict ignores the hot `pre` only when
+    // `pre_settled` is quiet — real pre-existing steal still fires on
+    // the settled reading. No timed work runs before either.
+    if (probes.last._2 > probeQuiet * 1.15) {
+      Thread.sleep(10000)
+      probe("pre_settled")
+    }
     // Protocol v3 (r5): 3 rounds × 1 sample per level, each level-session
     // warmed with a FULL-shape replay first. The measured first-sample
     // ramp (~3-5 s absolute — 10-15% of a high wall, ~4% of a low wall)
@@ -444,13 +455,20 @@ object Bench {
     // INFLATES efficiency — and is disqualifying on its own; probe
     // readings over the quiet band or a wide low-wall spread mark
     // contention that overstates wall times (degraded) ---
-    val worstProbe = probes.map(_._2).max / probeQuiet
+    // a superseded launch probe (quiet settled retake follows) is kept in
+    // the artifact but doesn't drive the verdict — no timed work ran yet
+    val verdictProbes =
+      if (probes.exists { case (l, s) =>
+          l == "pre_settled" && s <= probeQuiet * 1.15 })
+        probes.filterNot(_._1 == "pre")
+      else probes.toSeq
+    val worstProbe = verdictProbes.map(_._2).max / probeQuiet
     val lowSpread = if (lows.size >= 2) lows.max / lows.min else 1.0
     val reasons = scala.collection.mutable.ArrayBuffer.empty[String]
     pairedEffs.zipWithIndex.filter(_._1 > 1.0).foreach { case (e, i) =>
       reasons += f"paired ratio round$i $e%.3f > 1 - stolen LOW sample (inflates efficiency)"
     }
-    probes.filter(_._2 > probeQuiet * 1.15).foreach { case (l, s) =>
+    verdictProbes.filter(_._2 > probeQuiet * 1.15).foreach { case (l, s) =>
       reasons += f"probe $l $s%.2f s = ${s / probeQuiet}%.2fx quiet"
     }
     if (lowSpread > 1.25)
