@@ -47,6 +47,7 @@ final class ChangefeedSource(
     metadataPath: String,
     table: LakeTable,
     startOpt: String,
+    maxVersionsPerTrigger: Option[Long],
 ) extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -71,6 +72,10 @@ final class ChangefeedSource(
   }
   table.pinSnapshot(baseVersion.toInt)
   @volatile private var pinned: Set[Int] = Set(baseVersion.toInt)
+  // rate-limit high-water: the newest version already handed to the
+  // engine (offsets must only move forward; restart re-learns it from
+  // the first getBatch's end offset)
+  @volatile private var lastReported: Long = baseVersion
 
   override val schema: StructType = StructType(
     table.snapshot().schema.fields.map(_.copy(nullable = true)) :+
@@ -82,12 +87,19 @@ final class ChangefeedSource(
   }
 
   override def getOffset: Option[Offset] = {
-    val v = table.currentVersion()
+    val cur = table.currentVersion().toLong
+    // backpressure: advance at most maxVersionsPerTrigger versions per
+    // micro-batch — a consumer catching up over a deep backlog processes
+    // it as bounded batches instead of one giant diff
+    val v = maxVersionsPerTrigger
+      .fold(cur)(m => math.min(cur, math.max(lastReported, baseVersion) + m))
+      .toInt
     if (v > baseVersion) synchronized {
       // pin before reporting (once per version — getOffset fires every
       // trigger): the engine will read back to this version after
       // arbitrary wall time; vacuum must not outrun the batch
       if (!pinned.contains(v)) { table.pinSnapshot(v); pinned += v }
+      lastReported = math.max(lastReported, v.toLong)
     }
     if (v <= baseVersion) None else Some(LongOffset(v.toLong))
   }
@@ -95,6 +107,7 @@ final class ChangefeedSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(baseVersion)
     val to = ver(end)
+    synchronized { lastReported = math.max(lastReported, to) } // restart
     val batch = table.readChangesBetween(from.toInt, to.toInt)
       .select(schema.fieldNames.toSeq.map(col): _*)
     val qe = batch.queryExecution
@@ -120,8 +133,10 @@ final class ChangefeedSource(
 
 /** `format("graft-changefeed")` provider. Options: `root` (lake root),
   * `table` (lake table name), `startingVersion` (N | "latest"; default 1
-  * = full backfill), `buckets` (opener default for pre-persistence
-  * snapshots; the persisted layout always wins). */
+  * = full backfill), `maxVersionsPerTrigger` (backpressure: cap how many
+  * snapshot versions one micro-batch may advance — a deep backlog
+  * replays as bounded batches), `buckets` (opener default for
+  * pre-persistence snapshots; the persisted layout always wins). */
 final class ChangefeedSourceProvider
     extends StreamSourceProvider with DataSourceRegister {
 
@@ -153,5 +168,6 @@ final class ChangefeedSourceProvider
       parameters: Map[String, String]): Source =
     new ChangefeedSource(sqlContext, metadataPath,
       open(sqlContext, parameters),
-      parameters.getOrElse("startingVersion", "1"))
+      parameters.getOrElse("startingVersion", "1"),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
 }

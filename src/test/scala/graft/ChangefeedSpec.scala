@@ -278,6 +278,39 @@ class ChangefeedSpec extends AnyFunSuite {
     assert(lateSeen.toSet == Set("e" -> "insert"))
   }
 
+  test("streaming source: maxVersionsPerTrigger replays a backlog as bounded batches") {
+    import org.apache.spark.sql.DataFrame
+    val root = SparkTestSession.tmpDir("graft-cfbp-")
+    val src = new LakeTable(spark, root, "SRC", numBuckets = 4)
+    src.create(schema, Seq("ID"), "ID")
+    // a 3-commit backlog accumulated BEFORE the consumer starts
+    src.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
+    src.merge(df("a" -> "2", "b" -> "1"), Seq("ID"), "ID", "c2")
+    src.merge(df("c" -> "1"), Seq("ID"), "ID", "c3",
+      deleteRootKeys = Some(Seq("b").toDF("ID")))
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[(String, String)]]
+    val q = spark.readStream.format("graft-changefeed")
+      .option("root", root).option("table", "SRC")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation",
+        SparkTestSession.tmpDir("graft-cfbp-ckpt-"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect().map(r => r.getString(0) ->
+          r.getString(r.fieldIndex("_change_type"))).toSet
+        if (rows.nonEmpty) batches += rows; ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    // one bounded batch per source version — each commit replayed
+    // individually instead of one collapsed diff (c2's a-update visible,
+    // b created-then-deleted visible as its two batches)
+    assert(batches.toSeq == Seq(
+      Set("a" -> "insert"),
+      Set("a" -> "update", "b" -> "insert"),
+      Set("c" -> "insert", "b" -> "delete")))
+  }
+
   test("streaming source: additive lake evolution mid-stream — fixed schema until restart") {
     import org.apache.spark.sql.DataFrame
     val root = SparkTestSession.tmpDir("graft-cfevo-")
