@@ -75,21 +75,27 @@ object SparkEntry {
 
   // Two-phase replay of the SAME tail (lsn < CfCut, then the rest) — the
   // version pair brackets phase 2, pinned against vacuum per the
-  // documented feed protocol. Built once per session.
+  // documented feed protocol; the two consistent CUTS bracket the same
+  // phase for the multi-table feed (`cdc_changefeed_multi`). Built once
+  // per session.
   private val cfLakes = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, (String, Int, Int)]())
-  private def ensureTwoPhaseLake(s: SparkSession): (String, Int, Int) =
+    new java.util.WeakHashMap[SparkSession,
+      (String, Int, Int, Map[String, Int], Map[String, Int])]())
+  private def ensureTwoPhaseLake(s: SparkSession)
+      : (String, Int, Int, Map[String, Int], Map[String, Int]) =
     cfLakes.computeIfAbsent(s, _ => {
       val lake = java.nio.file.Files
         .createTempDirectory("graft-entry-lake-cf-").toString
       val engine = new Engine(s, lake, numBuckets = 16)
       val ev = EventGen.events(s, entryParams, 8).toDF()
       engine.applyEvents("repos", ev.filter(col("lsn") < CfCut), "cf:0")
+      val cutA = engine.consistentCut("repos", "entry-a")
       val t = entryRootTable(s, lake)
       val v1 = t.currentVersion()
       t.pinSnapshot(v1)
       engine.applyEvents("repos", ev.filter(col("lsn") >= CfCut), "cf:1")
-      (lake, v1, t.currentVersion())
+      val cutB = engine.consistentCut("repos", "entry-b")
+      (lake, v1, t.currentVersion(), cutA, cutB)
     })
 
   /** The point-lookup key set: two hot-repo keys that certainly exist,
@@ -608,11 +614,39 @@ object SparkEntry {
       // bracketing phase 2 of the two-phase replay — post-images for
       // insert/update, pre-images for delete, bucket-pruned to segments
       // that changed, aligned across the mid-tail schema evolution.
-      val (lake, v1, v2) = ensureTwoPhaseLake(s)
+      val (lake, v1, v2, _, _) = ensureTwoPhaseLake(s)
       entryRootTable(s, lake).readChangesBetween(v1, v2)
         .select(col("ID"), col("REV"),
           sha2(col("CONTENT"), 256).as("content_sha"),
           col("_change_type").as("change_type"))
+    }),
+    "cdc_changefeed_multi" -> ((s, dir) => {
+      // CDC OUTPUT, multi-table consistent (Engine.consistentCut +
+      // Engine.changesBetween): the per-table classified feeds between
+      // two cuts that agree on one ingest batch across the whole
+      // parent/child family — a consumer applying them never sees a
+      // child row whose parent batch hasn't landed. The window crosses
+      // the mid-tail evolution boundary, so REPOS diffs normally while
+      // REPOS_STATS/REPOS_TOPICS (born inside the window) feed their
+      // full to-state as inserts. Emitted as one union keyed by table
+      // name; per-row value probes keep the oracle content-exact.
+      val (lake, _, _, cutA, cutB) = ensureTwoPhaseLake(s)
+      val engine = new Engine(s, lake, numBuckets = 16)
+      val feeds = engine.changesBetween("repos", cutA, cutB)
+      feeds("REPOS")
+        .select(lit("REPOS").as("tbl"), col("ID").as("rid"),
+          lit(null).cast("string").as("sid"),
+          sha2(col("CONTENT"), 256).as("val"),
+          col("_change_type").as("change_type"))
+        .unionAll(feeds("REPOS_STATS")
+          .select(lit("REPOS_STATS").as("tbl"), col("REPOS_ID").as("rid"),
+            lit(null).cast("string").as("sid"),
+            concat_ws(":", col("LINES"), col("BYTES")).as("val"),
+            col("_change_type").as("change_type")))
+        .unionAll(feeds("REPOS_TOPICS")
+          .select(lit("REPOS_TOPICS").as("tbl"), col("REPOS_ID").as("rid"),
+            col("ID").as("sid"), col("SCORE").as("val"),
+            col("_change_type").as("change_type")))
     }),
   )
 
@@ -1004,6 +1038,69 @@ object SparkEntry {
          |FROM post FULL JOIN pre ON post.id = pre.id
          |WHERE post.id IS NULL OR pre.id IS NULL
          |   OR post.rev <> pre.rev""".stripMargin,
+
+    // multi-table consistent feed: the REPOS leg replays the same
+    // two-endpoint classify as cdc_changefeed_diff; the child legs
+    // re-derive the to-state of the tables born inside the window from
+    // the FINAL live winners' JSON — stats iff the winning doc carries
+    // them, topics deduped per (doc, topic id) with the LAST array
+    // element winning (the engine's within-doc rule, Engine.frameOf:
+    // reference sqlDML.ts:519-545 serial-MERGE order).
+    "cdc_changefeed_multi" ->
+      s"""WITH d AS (SELECT DISTINCT lsn, op, doc
+         |           FROM read_parquet('__OUTDIR__/engine_events/*.parquet')),
+         |pre AS (
+         |  SELECT json_extract_string(doc, '$$.id') AS id,
+         |         json_extract_string(doc, '$$.rev') AS rev,
+         |         sha256(json_extract_string(doc, '$$.content')) AS sha
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY json_extract_string(doc, '$$.id')
+         |          ORDER BY lsn DESC) AS rn FROM d WHERE lsn < $CfCut)
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |post AS (
+         |  SELECT json_extract_string(doc, '$$.id') AS id,
+         |         json_extract_string(doc, '$$.rev') AS rev,
+         |         sha256(json_extract_string(doc, '$$.content')) AS sha,
+         |         doc
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY json_extract_string(doc, '$$.id')
+         |          ORDER BY lsn DESC) AS rn FROM d)
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |root AS (
+         |  SELECT 'REPOS' AS tbl, coalesce(post.id, pre.id) AS rid,
+         |         CAST(NULL AS VARCHAR) AS sid,
+         |         coalesce(post.sha, pre.sha) AS val,
+         |         CASE WHEN pre.id IS NULL THEN 'insert'
+         |              WHEN post.id IS NULL THEN 'delete'
+         |              ELSE 'update' END AS change_type
+         |  FROM post FULL JOIN pre ON post.id = pre.id
+         |  WHERE post.id IS NULL OR pre.id IS NULL
+         |     OR post.rev <> pre.rev),
+         |stats AS (
+         |  SELECT 'REPOS_STATS' AS tbl, id AS rid,
+         |         CAST(NULL AS VARCHAR) AS sid,
+         |         json_extract_string(doc, '$$.stats.lines') || ':' ||
+         |           json_extract_string(doc, '$$.stats.bytes') AS val,
+         |         'insert' AS change_type
+         |  FROM post WHERE json_extract(doc, '$$.stats') IS NOT NULL),
+         |topel AS (
+         |  SELECT id AS rid,
+         |         unnest(json_extract(doc, '$$.topics[*]')) AS t,
+         |         generate_subscripts(json_extract(doc, '$$.topics[*]'), 1)
+         |           AS ord
+         |  FROM post WHERE json_extract(doc, '$$.topics') IS NOT NULL),
+         |topics AS (
+         |  SELECT 'REPOS_TOPICS' AS tbl, rid,
+         |         json_extract_string(t, '$$.id') AS sid,
+         |         json_extract_string(t, '$$.score') AS val,
+         |         'insert' AS change_type
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY rid, json_extract_string(t, '$$.id')
+         |          ORDER BY ord DESC) AS rn FROM topel)
+         |  WHERE rn = 1)
+         |SELECT * FROM root
+         |UNION ALL SELECT * FROM stats
+         |UNION ALL SELECT * FROM topics""".stripMargin,
 
     // full value-exact replica of the splitmix64 sample-bucket kernel
     // (ops.Sampling) in HUGEINT mod-2^64 arithmetic: golden-gamma

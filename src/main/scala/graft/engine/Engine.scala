@@ -822,84 +822,141 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       val live = Catalog.fromTree(tree)
         .map(t => (t, table(t))).filter(_._2.exists())
       if (live.isEmpty) Nil
-      else {
-        // choose-pin-verify loop (VERDICT r4 #8): a vacuum running between
-        // cut selection and the pin could GC the cut's superseded segments
-        // — pin first, then verify every chosen snapshot is still fully on
-        // disk; a torn cut unpins and re-chooses on the fresh log head.
-        // TERMINATION (ADVICE r5 #2): a cut whose segments were vacuumed
-        // BEFORE it was ever pinned re-derives identically from the
-        // unchanged log and can never become readable — when the same torn
-        // cut (or any torn cut, after a retry bound) comes back, degrade
-        // to the tables' CURRENT snapshots, which are always materialized
-        // (vacuum never deletes current segments).
-        var out: Option[Seq[String]] = None
-        var lastTorn: Set[(String, Int)] = null
-        var attempts = 0
-        def pinAndRegister(
-            chosen: Seq[(TableSpec, LakeTable, graft.lake.Snapshot)])
-            : Boolean = {
-          chosen.foreach { case (_, l, snap) => l.pinSnapshot(snap.version) }
-          if (chosen.forall { case (_, l, snap) => l.materialized(snap) }) {
-            out = Some(chosen.map { case (t, l, snap) =>
-              val name = s"$prefix${t.fullName}"
-              l.readAt(snap).createOrReplaceTempView(name)
-              name
-            })
-            // release the PREVIOUS cut only after the new one is pinned
-            val prev = viewPins.put(entity,
-              chosen.map { case (_, l, snap) => (l, snap.version) })
-            if (prev != null) prev.foreach { case (l, v) => l.unpinSnapshot(v) }
-            true
-          } else {
-            chosen.foreach { case (_, l, snap) => l.unpinSnapshot(snap.version) }
-            false
-          }
-        }
-        while (out.isEmpty) {
-          val snaps = live.map { case (t, l) => (t, l, l.snapshot()) }
-          val common = snaps.map(_._3.commits.toSet).reduce(_ intersect _)
-          // newest common tag, in the root table's commit order
-          val order = snaps.find(_._1.isRoot).map(_._3)
-            .getOrElse(snaps.head._3).commits
-          val cut = order.reverse.find(common.contains)
-          val chosen = snaps.map { case (t, l, cur) =>
-            val snap = cut match {
-              case None => cur // no common batch yet: current state
-              case Some(tag) =>
-                // oldest retained snapshot that has the cut tag = the state
-                // right after that batch committed on this table
-                l.snapshotVersions().iterator.map(l.snapshotAt)
-                  .find(_.hasCommit(tag)).getOrElse(cur)
-            }
-            (t, l, snap)
-          }
-          val key = chosen
-            .map { case (t, _, snap) => (t.fullName, snap.version) }.toSet
-          attempts += 1
-          if ((lastTorn != null && lastTorn == key) || attempts > 16) {
-            // unreadable-forever cut (or pathological churn): degrade to
-            // CURRENT state — re-read the log head AT PIN TIME (the
-            // iteration-top `snaps` may be stale by now) and KEEP the
-            // materialized() verify (ADVICE r6 #3): "current snapshots
-            // are always materialized" only holds while they are still
-            // current; a concurrent commit + compaction + short-grace
-            // vacuum in the window can GC a stale head's segments. A
-            // verify failure means the head moved — re-read and retry;
-            // churn outrunning 64 fresh-head retries is pathological
-            // (zero-grace vacuum racing a reader), surfaced, not masked.
-            require(attempts <= 16 + 64,
-              "registerConsistentViews: current-state pin lost 64 races " +
-                "to concurrent commit+vacuum churn")
-            val fresh = live.map { case (t, l) => (t, l, l.snapshot()) }
-            pinAndRegister(fresh)
-            ()
-          } else if (!pinAndRegister(chosen))
-            lastTorn = key
-        }
-        out.get
+      else pinConsistentCut(entity, live).map { case (t, l, snap) =>
+        val name = s"$prefix${t.fullName}"
+        l.readAt(snap).createOrReplaceTempView(name)
+        name
       }
     }
+
+  /** Choose-pin-verify core shared by [[registerConsistentViews]] and
+    * [[consistentCut]] (VERDICT r4 #8): a vacuum running between cut
+    * selection and the pin could GC the cut's superseded segments — pin
+    * first, then verify every chosen snapshot is still fully on disk; a
+    * torn cut unpins and re-chooses on the fresh log head. Pins are HELD
+    * under `pinKey` in [[viewPins]] on return (atomically replacing and
+    * releasing that key's previous cut).
+    * TERMINATION (ADVICE r5 #2): a cut whose segments were vacuumed
+    * BEFORE it was ever pinned re-derives identically from the unchanged
+    * log and can never become readable — when the same torn cut (or any
+    * torn cut, after a retry bound) comes back, degrade to the tables'
+    * CURRENT snapshots, which are always materialized (vacuum never
+    * deletes current segments). */
+  private def pinConsistentCut(pinKey: String,
+      live: Seq[(TableSpec, LakeTable)])
+      : Seq[(TableSpec, LakeTable, graft.lake.Snapshot)] = {
+    var out: Option[Seq[(TableSpec, LakeTable, graft.lake.Snapshot)]] = None
+    var lastTorn: Set[(String, Int)] = null
+    var attempts = 0
+    def pinAndHold(
+        chosen: Seq[(TableSpec, LakeTable, graft.lake.Snapshot)])
+        : Boolean = {
+      chosen.foreach { case (_, l, snap) => l.pinSnapshot(snap.version) }
+      if (chosen.forall { case (_, l, snap) => l.materialized(snap) }) {
+        out = Some(chosen)
+        // release the PREVIOUS cut only after the new one is pinned
+        val prev = viewPins.put(pinKey,
+          chosen.map { case (_, l, snap) => (l, snap.version) })
+        if (prev != null) prev.foreach { case (l, v) => l.unpinSnapshot(v) }
+        true
+      } else {
+        chosen.foreach { case (_, l, snap) => l.unpinSnapshot(snap.version) }
+        false
+      }
+    }
+    while (out.isEmpty) {
+      val snaps = live.map { case (t, l) => (t, l, l.snapshot()) }
+      val common = snaps.map(_._3.commits.toSet).reduce(_ intersect _)
+      // newest common tag, in the root table's commit order
+      val order = snaps.find(_._1.isRoot).map(_._3)
+        .getOrElse(snaps.head._3).commits
+      val cut = order.reverse.find(common.contains)
+      val chosen = snaps.map { case (t, l, cur) =>
+        val snap = cut match {
+          case None => cur // no common batch yet: current state
+          case Some(tag) =>
+            // oldest retained snapshot that has the cut tag = the state
+            // right after that batch committed on this table
+            l.snapshotVersions().iterator.map(l.snapshotAt)
+              .find(_.hasCommit(tag)).getOrElse(cur)
+        }
+        (t, l, snap)
+      }
+      val key = chosen
+        .map { case (t, _, snap) => (t.fullName, snap.version) }.toSet
+      attempts += 1
+      if ((lastTorn != null && lastTorn == key) || attempts > 16) {
+        // unreadable-forever cut (or pathological churn): degrade to
+        // CURRENT state — re-read the log head AT PIN TIME (the
+        // iteration-top `snaps` may be stale by now) and KEEP the
+        // materialized() verify (ADVICE r6 #3): "current snapshots
+        // are always materialized" only holds while they are still
+        // current; a concurrent commit + compaction + short-grace
+        // vacuum in the window can GC a stale head's segments. A
+        // verify failure means the head moved — re-read and retry;
+        // churn outrunning 64 fresh-head retries is pathological
+        // (zero-grace vacuum racing a reader), surfaced, not masked.
+        require(attempts <= 16 + 64,
+          "pinConsistentCut: current-state pin lost 64 races " +
+            "to concurrent commit+vacuum churn")
+        val fresh = live.map { case (t, l) => (t, l, l.snapshot()) }
+        pinAndHold(fresh)
+        ()
+      } else if (!pinAndHold(chosen))
+        lastTorn = key
+    }
+    out.get
+  }
+
+  /** A consistent cross-table CUT of the entity: table name → snapshot
+    * version, every table resolved to the state right after the newest
+    * batch applied to ALL of them (the [[registerConsistentViews]] cut,
+    * returned as data instead of temp views). The cut is PINNED against
+    * vacuum under `cutId` until [[releaseCut]] — hold two cuts and feed
+    * [[changesBetween]] with them for a batch-consistent multi-table
+    * changefeed. */
+  def consistentCut(entity: String, cutId: String): Map[String, Int] =
+    loadRegistry(entity).toSeq.flatMap { tree =>
+      val live = Catalog.fromTree(tree)
+        .map(t => (t, table(t))).filter(_._2.exists())
+      if (live.isEmpty) Nil
+      else pinConsistentCut(s"$entity#$cutId", live).map {
+        case (t, _, snap) => t.fullName -> snap.version
+      }
+    }.toMap
+
+  /** Release the pins of a [[consistentCut]]. */
+  def releaseCut(entity: String, cutId: String): Unit = {
+    val prev = viewPins.remove(s"$entity#$cutId")
+    if (prev != null) prev.foreach { case (l, v) => l.unpinSnapshot(v) }
+  }
+
+  /** CONSISTENT MULTI-TABLE CHANGEFEED: per-table classified diffs
+    * (insert/update/delete, [[graft.lake.LakeTable.readChangesBetween]])
+    * between two consistent cuts of the SAME entity — the cross-table
+    * form no single-table lake format offers: because both cuts agree on
+    * a commit tag across the whole document family, a consumer applying
+    * each table's feed sees parents and children move together, never a
+    * child row whose parent batch hasn't landed. Tables born between the
+    * cuts (mid-window schema growth) feed their full `to`-state as
+    * inserts. Keep both cuts pinned ([[consistentCut]]) until every feed
+    * is consumed. */
+  def changesBetween(entity: String, from: Map[String, Int],
+      to: Map[String, Int]): Map[String, DataFrame] =
+    loadRegistry(entity).toSeq.flatMap { tree =>
+      Catalog.fromTree(tree).flatMap { t =>
+        to.get(t.fullName).map { vTo =>
+          val l = table(t)
+          val feed = from.get(t.fullName) match {
+            case Some(vFrom) => l.readChangesBetween(vFrom, vTo)
+            case None => // table did not exist at the from-cut
+              l.readAt(l.snapshotAt(vTo))
+                .withColumn("_change_type", lit("insert"))
+          }
+          t.fullName -> feed
+        }
+      }
+    }.toMap
 
   /** Release the snapshot pins held by [[registerConsistentViews]] (the
     * views stay registered but lose vacuum protection). */

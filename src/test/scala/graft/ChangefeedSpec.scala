@@ -349,6 +349,74 @@ class ChangefeedSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq((Seq("ID", "V", "W", "_change_type"), 1)))
   }
 
+  test("engine: consistent multi-table changefeed between two cuts") {
+    import graft.cdc.EventGen
+    import graft.engine.Engine
+    val lake = SparkTestSession.tmpDir("graft-cfeng-")
+    val engine = new Engine(spark, lake, numBuckets = 8)
+    val p = EventGen.Params(nEvents = 600, nRepos = 10, pathsPerRepo = 8)
+    val ev = EventGen.events(spark, p, 4).toDF()
+    val cutLsn = 300L
+
+    engine.applyEvents("repos", ev.filter(col("lsn") < cutLsn), "cf:0")
+    val cutA = engine.consistentCut("repos", "a")
+    engine.applyEvents("repos", ev.filter(col("lsn") >= cutLsn), "cf:1")
+    val cutB = engine.consistentCut("repos", "b")
+    try {
+      // batch 2 crosses the evolution boundary (stats object, topics
+      // array at 0.6·n = 360): REPOS existed at both cuts; the child
+      // tables were BORN inside the window
+      assert(cutA.keySet == Set("REPOS"))
+      assert(cutB.keySet == Set("REPOS", "REPOS_STATS", "REPOS_TOPICS"))
+
+      val feeds = engine.changesBetween("repos", cutA, cutB)
+      assert(feeds.keySet == cutB.keySet)
+
+      // driver-side expected model, same winner rule as the engine
+      // (max-lsn per id, delete-winners absent) at both horizons
+      def winners(upTo: Long): Map[String, (Long, String)] = {
+        val m = scala.collection.mutable.HashMap.empty[String, (Long, String)]
+        var i = 0L
+        while (i < upTo) {
+          val e = EventGen.eventAt(i, p)
+          if (e.lsn < upTo) { // dup deliveries carry the ORIGINAL lsn
+            val s = e.doc.indexOf("\"id\":\"") + 6
+            val id = e.doc.substring(s, e.doc.indexOf('"', s))
+            if (m.get(id).forall(_._1 <= e.lsn)) m(id) = (e.lsn, e.op)
+          }
+          i += 1
+        }
+        m.toMap
+      }
+      val pre = winners(cutLsn).filter(_._2._2 != "delete").keySet
+      val post = winners(p.nEvents)
+      val postLive = post.filter(_._2._2 != "delete")
+      val expected =
+        postLive.filter { case (id, (lsn, _)) => lsn >= cutLsn }.keySet.map {
+          id => id -> (if (pre(id)) "update" else "insert")
+        } ++
+        pre.filter(id => post(id)._2 == "delete" && post(id)._1 >= cutLsn)
+          .map(_ -> "delete")
+      val got = feeds("REPOS").collect().map { r =>
+        r.getString(r.fieldIndex("ID")) ->
+          r.getString(r.fieldIndex("_change_type"))
+      }.toSet
+      assert(got == expected)
+
+      // newborn child tables feed their full to-state as inserts
+      val stats = feeds("REPOS_STATS")
+      assert(stats.collect()
+        .forall(_.getString(stats.columns.indexOf("_change_type")) == "insert"))
+      assert(stats.count() ==
+        engine.table(graft.catalog.Catalog
+          .fromTree(engine.loadRegistry("repos").get)
+          .find(_.fullName == "REPOS_STATS").get).read().count())
+    } finally {
+      engine.releaseCut("repos", "a")
+      engine.releaseCut("repos", "b")
+    }
+  }
+
   test("readChangesBetween: vacuumed horizon throws instead of misreading") {
     val t = newTable(maxDeltas = 2)
     t.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
