@@ -76,13 +76,15 @@ object SparkEntry {
   // Two-phase replay of the SAME tail (lsn < CfCut, then the rest) — the
   // version pair brackets phase 2, pinned against vacuum per the
   // documented feed protocol; the two consistent CUTS bracket the same
-  // phase for the multi-table feed (`cdc_changefeed_multi`). Built once
-  // per session.
+  // phase for the multi-table feed (`cdc_changefeed_multi`); `t1` is
+  // v1's commit wall clock — the `cdc_time_travel` as-of point (phase-2
+  // commit times are strictly greater by publish monotonization, so
+  // readAsOf(t1) resolves to exactly v1). Built once per session.
   private val cfLakes = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      (String, Int, Int, Map[String, Int], Map[String, Int])]())
+      (String, Int, Int, Map[String, Int], Map[String, Int], Long)]())
   private def ensureTwoPhaseLake(s: SparkSession)
-      : (String, Int, Int, Map[String, Int], Map[String, Int]) =
+      : (String, Int, Int, Map[String, Int], Map[String, Int], Long) =
     cfLakes.computeIfAbsent(s, _ => {
       val lake = java.nio.file.Files
         .createTempDirectory("graft-entry-lake-cf-").toString
@@ -93,9 +95,10 @@ object SparkEntry {
       val t = entryRootTable(s, lake)
       val v1 = t.currentVersion()
       t.pinSnapshot(v1)
+      val t1 = t.snapshotAt(v1).timeMs
       engine.applyEvents("repos", ev.filter(col("lsn") >= CfCut), "cf:1")
       val cutB = engine.consistentCut("repos", "entry-b")
-      (lake, v1, t.currentVersion(), cutA, cutB)
+      (lake, v1, t.currentVersion(), cutA, cutB, t1)
     })
 
   /** The point-lookup key set: two hot-repo keys that certainly exist,
@@ -614,7 +617,7 @@ object SparkEntry {
       // bracketing phase 2 of the two-phase replay — post-images for
       // insert/update, pre-images for delete, bucket-pruned to segments
       // that changed, aligned across the mid-tail schema evolution.
-      val (lake, v1, v2, _, _) = ensureTwoPhaseLake(s)
+      val (lake, v1, v2, _, _, _) = ensureTwoPhaseLake(s)
       entryRootTable(s, lake).readChangesBetween(v1, v2)
         .select(col("ID"), col("REV"),
           sha2(col("CONTENT"), 256).as("content_sha"),
@@ -630,7 +633,7 @@ object SparkEntry {
       // REPOS_STATS/REPOS_TOPICS (born inside the window) feed their
       // full to-state as inserts. Emitted as one union keyed by table
       // name; per-row value probes keep the oracle content-exact.
-      val (lake, _, _, cutA, cutB) = ensureTwoPhaseLake(s)
+      val (lake, _, _, cutA, cutB, _) = ensureTwoPhaseLake(s)
       val engine = new Engine(s, lake, numBuckets = 16)
       val feeds = engine.changesBetween("repos", cutA, cutB)
       feeds("REPOS")
@@ -647,6 +650,19 @@ object SparkEntry {
           .select(lit("REPOS_TOPICS").as("tbl"), col("REPOS_ID").as("rid"),
             col("ID").as("sid"), col("SCORE").as("val"),
             col("_change_type").as("change_type")))
+    }),
+    "cdc_time_travel" -> ((s, dir) => {
+      // TIME TRAVEL (LakeTable.readAsOf — Delta `TIMESTAMP AS OF` /
+      // Iceberg as-of-timestamp analogue): read the root table AS OF
+      // the phase-1 commit wall clock. Publish-time monotonization makes
+      // per-table snapshot times strictly increasing, so the as-of walk
+      // lands on exactly the last phase-1 version — the oracle is the
+      // pre-cut live winner state, independently rebuilt from the
+      // dumped event tail.
+      val (lake, _, _, _, _, t1) = ensureTwoPhaseLake(s)
+      entryRootTable(s, lake).readAsOf(t1)
+        .select(col("ID"), col("REV"),
+          sha2(col("CONTENT"), 256).as("content_sha"))
     }),
   )
 
@@ -1101,6 +1117,19 @@ object SparkEntry {
          |SELECT * FROM root
          |UNION ALL SELECT * FROM stats
          |UNION ALL SELECT * FROM topics""".stripMargin,
+
+    // time travel to the phase-1 commit wall clock = the pre-cut live
+    // winner state, rebuilt independently from the dumped event tail
+    "cdc_time_travel" ->
+      s"""WITH d AS (SELECT DISTINCT lsn, op, doc
+         |           FROM read_parquet('__OUTDIR__/engine_events/*.parquet'))
+         |SELECT json_extract_string(doc, '$$.id') AS ID,
+         |       json_extract_string(doc, '$$.rev') AS REV,
+         |       sha256(json_extract_string(doc, '$$.content')) AS content_sha
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY json_extract_string(doc, '$$.id')
+         |        ORDER BY lsn DESC) AS rn FROM d WHERE lsn < $CfCut)
+         |WHERE rn = 1 AND op <> 'delete'""".stripMargin,
 
     // full value-exact replica of the splitmix64 sample-bucket kernel
     // (ops.Sampling) in HUGEINT mod-2^64 arithmetic: golden-gamma

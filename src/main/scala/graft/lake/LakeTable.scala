@@ -57,6 +57,12 @@ final case class Snapshot(
                                    // way the segments were written
                                    // (0 = pre-persistence snapshot:
                                    // fall back to the constructor)
+    timeMs: Long = 0L,             // commit wall clock, MONOTONIZED per
+                                   // table at publish (max(now, prev+1),
+                                   // Delta-commit-timestamp style) so a
+                                   // clock regression can never reorder
+                                   // snapshot history; 0 = pre-feature
+                                   // snapshot (sorts before any real ts)
 ) {
   def schema: StructType = schemas(schemaVer)
   private lazy val commitSet = commits.toSet
@@ -202,8 +208,9 @@ final class LakeTable(val spark: SparkSession, val root: String,
       case _ => throw new IllegalStateException("bad lineage")
     }
     val nb = o.get("numBuckets").collect { case JNum(n) => n.toInt }.getOrElse(0)
+    val tm = o.get("timeMs").collect { case JNum(n) => n.toLong }.getOrElse(0L)
     Snapshot(v, schemaVer, schemas, keyCols, rootKey, segs, commits, lineage,
-      seqDomain, nb)
+      seqDomain, nb, tm)
   }
 
   private def renderSnapshot(s: Snapshot): String = {
@@ -217,6 +224,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       "rootKey" -> JStr(s.rootKey),
       "seqDomain" -> JStr(s.seqDomain),
       "numBuckets" -> JNum(s.numBuckets.toString),
+      "timeMs" -> JNum(s.timeMs.toString),
       "segments" -> JArr(s.segments.map(seg => JObj(Vector(
         "path" -> JStr(seg.path), "bucket" -> JNum(seg.bucket.toString),
         "schemaVer" -> JNum(seg.schemaVer.toString),
@@ -247,6 +255,13 @@ final class LakeTable(val spark: SparkSession, val root: String,
       renderSnapshot(s))
   }
 
+  /** Publish-time commit clock: wall clock monotonized over the PREVIOUS
+    * snapshot (every `next` is a `.copy` of its predecessor, so `prev
+    * .timeMs` rides along) — per-table snapshot times are strictly
+    * increasing, which makes [[versionAsOf]] a simple threshold walk. */
+  private def stampTime(prev: Snapshot): Long =
+    math.max(System.currentTimeMillis(), prev.timeMs + 1)
+
   // ---------- DDL ----------
 
   /** Create the table (v1 snapshot, no data; the constructor's bucket
@@ -256,7 +271,8 @@ final class LakeTable(val spark: SparkSession, val root: String,
     fio.mkdirs(new HPath(dir, "data"))
     // publish may lose to a concurrent creator — that's the no-op case
     publishSnapshot(Snapshot(1, 1, Map(1 -> schema), keyCols, rootKey, Nil,
-      Nil, Nil, numBuckets = numBuckets))
+      Nil, Nil, numBuckets = numBuckets,
+      timeMs = System.currentTimeMillis()))
     ()
   }
 
@@ -272,7 +288,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       val ver = if (s.schema == newSchema) s.schemaVer else s.schemaVer + 1
       val next = s.copy(version = s.version + 1, schemaVer = ver,
         schemas = s.schemas + (ver -> newSchema), keyCols = keyCols,
-        rootKey = rootKey)
+        rootKey = rootKey, timeMs = stampTime(s))
       if (publishSnapshot(next)) return next
       // collision: a concurrent writer advanced the log — re-derive
     }
@@ -292,6 +308,34 @@ final class LakeTable(val spark: SparkSession, val root: String,
     * historical snapshot's superseded segment dirs can be GC'd at any
     * time. */
   def readAt(s: Snapshot): DataFrame = resolve(s, _ => true)
+
+  /** Time travel by WALL CLOCK (Delta `TIMESTAMP AS OF` / Iceberg
+    * `as-of-timestamp` analogue): the newest retained snapshot whose
+    * commit time is ≤ `tsMs`. Commit times are stamped at publish and
+    * strictly increasing per table ([[stampTime]]); pre-feature
+    * snapshots carry `timeMs = 0` and a running max keeps the walk sound
+    * across them. Throws when `tsMs` predates the oldest RETAINED
+    * snapshot — vacuum bounds the time-travel horizon, the same contract
+    * as [[readChangesBetween]] (an error, never a silent misread). */
+  def versionAsOf(tsMs: Long): Int = {
+    val vs = snapshotVersions()
+    var mono = 0L
+    var hit = -1
+    vs.foreach { v =>
+      mono = math.max(mono, snapshotAt(v).timeMs)
+      if (mono <= tsMs) hit = v
+    }
+    require(hit > 0,
+      s"$name: no retained snapshot at or before timeMs=$tsMs (oldest " +
+        s"retained: v${vs.headOption.getOrElse(0)} at timeMs=" +
+        s"${vs.headOption.map(snapshotAt(_).timeMs).getOrElse(0L)}; " +
+        "vacuum bounds the time-travel horizon)")
+    hit
+  }
+
+  /** [[readAt]] the [[versionAsOf]] `tsMs` — pin first to hold the state
+    * across queries (the [[readAt]] caveat applies). */
+  def readAsOf(tsMs: Long): DataFrame = readAt(snapshotAt(versionAsOf(tsMs)))
 
   // ---------- consistent-read pins (vacuum protection) ----------
 
@@ -817,7 +861,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       val touched: Set[Int] = stamped.map(_.bucket).toSet
       val next =
         if (touched.isEmpty && atCap.isEmpty)
-          s.copy(version = ver,
+          s.copy(version = ver, timeMs = stampTime(s),
             commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
             lineage = (s.lineage :+ Lineage(commitTag, Nil, 0, 0, Nil,
               (System.nanoTime() - t0) / 1000000)).takeRight(maxLineage))
@@ -836,7 +880,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
             }
           val inCap = (seg: Segment) => atCap.contains(seg.bucket)
           s.copy(
-            version = ver,
+            version = ver, timeMs = stampTime(s),
             segments = (s.segments ++ stamped).filterNot(inCap) ++ baseSegs,
             commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
             lineage = (s.lineage :+ Lineage(commitTag, touched.toSeq.sorted,
@@ -910,7 +954,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val newSegs = writeBase(s, ver,
       readRaw(s, seg => dirty.contains(seg.bucket)), s.keyCols, s.rootKey,
       dirty.size, expireTombstonesBelow)
-    val next = s.copy(version = ver,
+    val next = s.copy(version = ver, timeMs = stampTime(s),
       segments = s.segments.filterNot(seg => dirty.contains(seg.bucket)) ++ newSegs,
       commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
       lineage = (s.lineage :+ Lineage(commitTag, dirty.toSeq.sorted, 0, 0,
@@ -947,7 +991,7 @@ final class LakeTable(val spark: SparkSession, val root: String,
       if (s.segments.isEmpty) Nil
       else writeBase(relaid, ver, readRaw(s, _ => true), s.keyCols,
         s.rootKey, newBuckets, expireTombstonesBelow)
-    val next = relaid.copy(version = ver,
+    val next = relaid.copy(version = ver, timeMs = stampTime(s),
       segments = newSegs,
       commits = (s.commits :+ commitTag).takeRight(maxCommitTags),
       lineage = (s.lineage :+ Lineage(commitTag,

@@ -468,4 +468,32 @@ class LakeSpec extends AnyFunSuite {
       .fromTree(e.loadRegistry("objent").get).find(_.isRoot).get
     assert(e.table(spec).read().count() == 1)
   }
+
+  test("time travel: readAsOf resolves the commit-clock state; times are strictly monotone") {
+    val t = newTable()
+    t.merge(df("a" -> "1", "b" -> "1"), Seq("ID"), "ID", "c1")
+    val s1 = t.snapshot()
+    t.merge(df("a" -> "2", "c" -> "2"), Seq("ID"), "ID", "c2")
+    t.merge(df("b" -> "3"), Seq("ID"), "ID", "c3")
+    val s3 = t.snapshot()
+
+    // publish monotonization: strictly increasing per table even when
+    // commits land within one wall-clock millisecond
+    val times = t.snapshotVersions().map(v => t.snapshotAt(v).timeMs)
+    assert(times == times.sorted && times.distinct == times)
+
+    // as-of each commit's own clock = that commit's state
+    def state(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(t.versionAsOf(s1.timeMs) == s1.version)
+    assert(state(t.readAsOf(s1.timeMs)) == Set("a" -> "1", "b" -> "1"))
+    assert(state(t.readAsOf(s3.timeMs)) ==
+      Set("a" -> "2", "b" -> "3", "c" -> "2"))
+    // between two commits → the earlier one (strict monotonicity means
+    // prev.timeMs ≤ s3.timeMs - 1 always); at-or-after head → head
+    assert(t.versionAsOf(s3.timeMs - 1) == s3.version - 1)
+    assert(t.versionAsOf(System.currentTimeMillis() + 60000) == s3.version)
+    // before the oldest retained snapshot → error, never a misread
+    intercept[IllegalArgumentException] { t.versionAsOf(0L) }
+  }
 }
