@@ -651,6 +651,44 @@ object SparkEntry {
             col("ID").as("sid"), col("SCORE").as("val"),
             col("_change_type").as("change_type")))
     }),
+    "cdc_changefeed_cdf" -> ((s, dir) => {
+      // CDC OUTPUT, Delta-CDF form (LakeTable.readChangesBetweenCdf):
+      // the same version-space diff as `cdc_changefeed_diff`, but updates
+      // emit BOTH images — `update_preimage` (the retired row) and
+      // `update_postimage` (the new row) — the shape a delta consumer
+      // needs to retire old group contributions. Insert/delete as before.
+      val (lake, v1, v2, _, _, _) = ensureTwoPhaseLake(s)
+      entryRootTable(s, lake).readChangesBetweenCdf(v1, v2)
+        .select(col("ID"), col("REV"),
+          sha2(col("CONTENT"), 256).as("content_sha"),
+          col("_change_type").as("change_type"))
+    }),
+    "cdc_incr_agg" -> ((s, dir) => {
+      // INCREMENTALLY MAINTAINED AGGREGATE — the classic CDC consumer:
+      // a per-LANG (docs, content bytes) rollup maintained from the CDF
+      // feed instead of recomputed. Base contributions come from the
+      // phase-1 snapshot (+1); the feed retires pre-images (−1) and
+      // admits post-images (+1); one hash aggregate folds both. The
+      // oracle recomputes the rollup FROM SCRATCH over the final winner
+      // state — equality proves base + delta ≡ full recompute, i.e. the
+      // CDF is exactly right including pre-images. At 10^10 rows this is
+      // the only viable shape: the delta costs O(changed buckets), the
+      // recompute O(table).
+      val (lake, v1, v2, _, _, _) = ensureTwoPhaseLake(s)
+      val t = entryRootTable(s, lake)
+      val base = t.readAt(t.snapshotAt(v1))
+        .select(col("LANG"), lit(1L).as("sgn"),
+          length(col("CONTENT")).cast("long").as("len"))
+      val delta = t.readChangesBetweenCdf(v1, v2)
+        .select(col("LANG"),
+          when(col("_change_type").isin("insert", "update_postimage"),
+            lit(1L)).otherwise(lit(-1L)).as("sgn"),
+          length(col("CONTENT")).cast("long").as("len"))
+      base.unionAll(delta).groupBy(col("LANG"))
+        .agg(sum(col("sgn")).as("n_docs"),
+          sum(col("sgn") * col("len")).as("content_len"))
+        .filter(col("n_docs") > 0)
+    }),
     "cdc_time_travel" -> ((s, dir) => {
       // TIME TRAVEL (LakeTable.readAsOf — Delta `TIMESTAMP AS OF` /
       // Iceberg as-of-timestamp analogue): read the root table AS OF
@@ -1117,6 +1155,62 @@ object SparkEntry {
          |SELECT * FROM root
          |UNION ALL SELECT * FROM stats
          |UNION ALL SELECT * FROM topics""".stripMargin,
+
+    // Delta-CDF form of the version-space diff: same two-endpoint
+    // classify as cdc_changefeed_diff, but an update contributes BOTH
+    // its pre-image row (tagged update_preimage) and its post-image row
+    // (update_postimage)
+    "cdc_changefeed_cdf" ->
+      s"""WITH d AS (SELECT DISTINCT lsn, op, doc
+         |           FROM read_parquet('__OUTDIR__/engine_events/*.parquet')),
+         |pre AS (
+         |  SELECT json_extract_string(doc, '$$.id') AS id,
+         |         json_extract_string(doc, '$$.rev') AS rev,
+         |         sha256(json_extract_string(doc, '$$.content')) AS sha
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY json_extract_string(doc, '$$.id')
+         |          ORDER BY lsn DESC) AS rn FROM d WHERE lsn < $CfCut)
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |post AS (
+         |  SELECT json_extract_string(doc, '$$.id') AS id,
+         |         json_extract_string(doc, '$$.rev') AS rev,
+         |         sha256(json_extract_string(doc, '$$.content')) AS sha
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY json_extract_string(doc, '$$.id')
+         |          ORDER BY lsn DESC) AS rn FROM d)
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |chg AS (
+         |  SELECT pre.id AS pid, pre.rev AS prev, pre.sha AS psha,
+         |         post.id AS qid, post.rev AS qrev, post.sha AS qsha
+         |  FROM post FULL JOIN pre ON post.id = pre.id
+         |  WHERE post.id IS NULL OR pre.id IS NULL
+         |     OR post.rev <> pre.rev)
+         |SELECT qid AS ID, qrev AS REV, qsha AS content_sha,
+         |       'insert' AS change_type FROM chg WHERE pid IS NULL
+         |UNION ALL
+         |SELECT pid, prev, psha, 'delete' FROM chg WHERE qid IS NULL
+         |UNION ALL
+         |SELECT pid, prev, psha, 'update_preimage' FROM chg
+         |WHERE pid IS NOT NULL AND qid IS NOT NULL
+         |UNION ALL
+         |SELECT qid, qrev, qsha, 'update_postimage' FROM chg
+         |WHERE pid IS NOT NULL AND qid IS NOT NULL""".stripMargin,
+
+    // incrementally maintained per-LANG rollup ≡ full recompute over the
+    // FINAL winner state (the oracle side is the recompute — equality is
+    // exactly the base + CDF-delta invariant)
+    "cdc_incr_agg" ->
+      s"""WITH d AS (SELECT DISTINCT lsn, op, doc
+         |           FROM read_parquet('__OUTDIR__/engine_events/*.parquet'))
+         |SELECT json_extract_string(doc, '$$.lang') AS LANG,
+         |       count(*) AS n_docs,
+         |       CAST(sum(length(json_extract_string(doc, '$$.content')))
+         |            AS BIGINT) AS content_len
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY json_extract_string(doc, '$$.id')
+         |        ORDER BY lsn DESC) AS rn FROM d)
+         |WHERE rn = 1 AND op <> 'delete'
+         |GROUP BY 1""".stripMargin,
 
     // time travel to the phase-1 commit wall clock = the pre-cut live
     // winner state, rebuilt independently from the dumped event tail

@@ -505,13 +505,60 @@ final class LakeTable(val spark: SparkSession, val root: String,
     * `fromV` must still be materialized — [[pinSnapshot]] it for feeds
     * held across queries; a vacuumed horizon throws here rather than
     * misreading (Iceberg's expired-snapshot incremental-read contract). */
-  def readChangesBetween(fromV: Int, toV: Int): DataFrame = {
+  def readChangesBetween(fromV: Int, toV: Int): DataFrame =
+    changedPairs(fromV, toV) match {
+      case None => emptyDf(cachedSnapshot(toV).schema
+        .add("_change_type", StringType))
+      case Some((joined, cols)) =>
+        joined
+          .withColumn("_row", coalesce(col("_post"), col("_pre")))
+          .withColumn("_change_type",
+            when(col("_pre").isNull, lit("insert"))
+              .when(col("_post").isNull, lit("delete"))
+              .otherwise(lit("update")))
+          .select((cols.map(c => col(s"_row.$c").as(c)) :+
+            col("_change_type")): _*)
+    }
+
+  /** [[readChangesBetween]] in Delta-CDF form: updates emit TWO rows —
+    * the before-image tagged `update_preimage` and the after-image
+    * tagged `update_postimage` (inserts/deletes as before). This is the
+    * shape a downstream DELTA consumer needs: an incrementally
+    * maintained aggregate subtracts the pre-image's contribution and
+    * adds the post-image's, so base + feed ≡ full recompute — without
+    * pre-images an update's old group would never be retired. Same
+    * bucket-pruned cost shape; the pair explode is a per-row map. */
+  def readChangesBetweenCdf(fromV: Int, toV: Int): DataFrame =
+    changedPairs(fromV, toV) match {
+      case None => emptyDf(cachedSnapshot(toV).schema
+        .add("_change_type", StringType))
+      case Some((joined, cols)) =>
+        joined
+          .select(explode(
+            when(col("_pre").isNull, array(
+              struct(col("_post").as("img"), lit("insert").as("ct"))))
+            .when(col("_post").isNull, array(
+              struct(col("_pre").as("img"), lit("delete").as("ct"))))
+            .otherwise(array(
+              struct(col("_pre").as("img"),
+                lit("update_preimage").as("ct")),
+              struct(col("_post").as("img"),
+                lit("update_postimage").as("ct"))))).as("_e"))
+          .select((cols.map(c => col(s"_e.img.$c").as(c)) :+
+            col("_e.ct").as("_change_type")): _*)
+    }
+
+  /** Shared changefeed core: full-outer join of the two snapshots'
+    * resolved states over the buckets whose segment set differs, rows
+    * limited to real changes, as (`_pre`, `_post`) image structs plus
+    * the `toV`-schema column list. None = empty window. */
+  private def changedPairs(fromV: Int, toV: Int)
+      : Option[(DataFrame, Seq[String])] = {
     val cur = currentVersion()
     require(fromV >= 1 && fromV <= toV && toV <= cur,
       s"table $name: changefeed window [$fromV, $toV] outside 1..$cur")
     val to = cachedSnapshot(toV)
-    val typed = to.schema.add("_change_type", StringType)
-    if (fromV == toV) return emptyDf(typed)
+    if (fromV == toV) return None
     val from = cachedSnapshot(fromV)
     require(materialized(from),
       s"table $name: snapshot v$fromV was vacuumed — pin the feed horizon " +
@@ -529,16 +576,10 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val pre = pack(align(resolve(from, seg => touched(seg.bucket)),
       to.schema), "_pre")
     val post = pack(resolve(to, seg => touched(seg.bucket)), "_post")
-    post.join(pre, to.keyCols.toSeq, "full_outer")
+    val joined = post.join(pre, to.keyCols.toSeq, "full_outer")
       .filter(col("_post").isNull || col("_pre").isNull ||
         !(col("_post") <=> col("_pre")))
-      .withColumn("_row", coalesce(col("_post"), col("_pre")))
-      .withColumn("_change_type",
-        when(col("_pre").isNull, lit("insert"))
-          .when(col("_post").isNull, lit("delete"))
-          .otherwise(lit("update")))
-      .select((cols.map(c => col(s"_row.$c").as(c)) :+
-        col("_change_type")): _*)
+    Some((joined, cols))
   }
 
   /** Root-key values `e` constrains the scan to, or None ("all keys").

@@ -442,4 +442,42 @@ class ChangefeedSpec extends AnyFunSuite {
       assert(got == Map("a" -> ("update", "3")))
     } finally t2.unpinSnapshot(p1)
   }
+
+  test("readChangesBetweenCdf: updates emit both images; base + delta ≡ to-state") {
+    val t = newTable()
+    t.merge(df("a" -> "1", "b" -> "1", "c" -> "1", "z" -> "zz"),
+      Seq("ID"), "ID", "c1")
+    val v1 = t.currentVersion()
+    t.merge(df("b" -> "2", "d" -> "1", "z" -> "zz"), Seq("ID"), "ID", "c2",
+      deleteRootKeys = Some(Seq("c").toDF("ID")))
+    val v2 = t.currentVersion()
+    val feed = t.readChangesBetweenCdf(v1, v2).collect()
+      .map { r =>
+        (r.getString(0), r.getString(r.fieldIndex("_change_type")),
+          Option(r.getString(1)).orNull)
+      }.toSet
+    // update = pre+post image PAIR; z re-merged identical and a
+    // untouched stay silent — same net semantics as the 3-valued form
+    assert(feed == Set(
+      ("b", "update_preimage", "1"), ("b", "update_postimage", "2"),
+      ("d", "insert", "1"), ("c", "delete", "1")))
+    // the delta invariant the CDF shape exists for: retire pre-images
+    // and deletes from the from-state, admit post-images and inserts —
+    // lands exactly on the to-state
+    def state(v: Int): Set[(String, String)] =
+      t.readAt(t.snapshotAt(v)).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val retired = feed.collect {
+      case (id, ct, v) if ct == "update_preimage" || ct == "delete" =>
+        (id, v)
+    }
+    val admitted = feed.collect {
+      case (id, ct, v) if ct == "update_postimage" || ct == "insert" =>
+        (id, v)
+    }
+    assert((state(v1) -- retired) ++ admitted == state(v2))
+    // empty window / bad windows: same contract as the 3-valued reader
+    assert(t.readChangesBetweenCdf(v2, v2).count() == 0)
+    intercept[IllegalArgumentException] { t.readChangesBetweenCdf(v2, v1) }
+  }
 }
