@@ -48,6 +48,7 @@ final class ChangefeedSource(
     table: LakeTable,
     startOpt: String,
     maxVersionsPerTrigger: Option[Long],
+    cdf: Boolean,
 ) extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -108,8 +109,12 @@ final class ChangefeedSource(
     val from = start.map(ver).getOrElse(baseVersion)
     val to = ver(end)
     synchronized { lastReported = math.max(lastReported, to) } // restart
-    val batch = table.readChangesBetween(from.toInt, to.toInt)
-      .select(schema.fieldNames.toSeq.map(col): _*)
+    // cdf=true: Delta-CDF form — updates as update_preimage/postimage
+    // pairs (same schema; only the _change_type domain widens)
+    val feed =
+      if (cdf) table.readChangesBetweenCdf(from.toInt, to.toInt)
+      else table.readChangesBetween(from.toInt, to.toInt)
+    val batch = feed.select(schema.fieldNames.toSeq.map(col): _*)
     val qe = batch.queryExecution
     GraftSqlShims.streamingDataFrame(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
@@ -135,7 +140,9 @@ final class ChangefeedSource(
   * `table` (lake table name), `startingVersion` (N | "latest"; default 1
   * = full backfill), `maxVersionsPerTrigger` (backpressure: cap how many
   * snapshot versions one micro-batch may advance — a deep backlog
-  * replays as bounded batches), `buckets` (opener default for
+  * replays as bounded batches), `cdf` (true = Delta-CDF form: updates
+  * as `update_preimage`/`update_postimage` pairs, for delta consumers
+  * that must retire old contributions), `buckets` (opener default for
   * pre-persistence snapshots; the persisted layout always wins). */
 final class ChangefeedSourceProvider
     extends StreamSourceProvider with DataSourceRegister {
@@ -169,5 +176,6 @@ final class ChangefeedSourceProvider
     new ChangefeedSource(sqlContext, metadataPath,
       open(sqlContext, parameters),
       parameters.getOrElse("startingVersion", "1"),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      parameters.getOrElse("cdf", "false").toBoolean)
 }

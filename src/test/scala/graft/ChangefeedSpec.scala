@@ -443,6 +443,50 @@ class ChangefeedSpec extends AnyFunSuite {
     } finally t2.unpinSnapshot(p1)
   }
 
+  test("streaming source: cdf=true feeds update image pairs; a feed-only rollup converges") {
+    import org.apache.spark.sql.DataFrame
+    val root = SparkTestSession.tmpDir("graft-cfcdf-")
+    val src = new LakeTable(spark, root, "SRC", numBuckets = 4)
+    src.create(schema, Seq("ID"), "ID")
+    src.merge(df("a" -> "x", "b" -> "x", "c" -> "y"), Seq("ID"), "ID", "c1")
+
+    // a delta consumer: per-V doc count maintained ONLY from the feed —
+    // correct iff updates retire their pre-image (the 3-valued form
+    // can't support this consumer; that's what cdf=true is for)
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, String)]()
+    val q = spark.readStream.format("graft-changefeed")
+      .option("root", root).option("table", "SRC")
+      .option("cdf", "true").load()
+      .writeStream.option("checkpointLocation",
+        SparkTestSession.tmpDir("graft-cfcdf-ckpt-"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          val v = r.getString(r.fieldIndex("V"))
+          val ct = r.getString(r.fieldIndex("_change_type"))
+          seen.add((r.getString(0), ct, v))
+          val sgn = if (ct == "insert" || ct == "update_postimage") 1L else -1L
+          counts.merge(v, sgn, (x, y) => x + y)
+          ()
+        }
+        ()
+      }.start()
+    q.processAllAvailable() // backfill batch 0 = inserts (CDF form too)
+    src.merge(df("b" -> "y", "d" -> "y"), Seq("ID"), "ID", "c2",
+      deleteRootKeys = Some(Seq("a").toDF("ID")))
+    q.processAllAvailable()
+    q.stop()
+    // the tail batch carried BOTH of b's images
+    assert(seen.contains(("b", "update_preimage", "x")) &&
+      seen.contains(("b", "update_postimage", "y")))
+    // rollup from the feed alone ≡ recompute over the source state
+    val want = src.read().collect().groupBy(_.getString(1))
+      .view.mapValues(_.length.toLong).toMap
+    import scala.jdk.CollectionConverters._
+    assert(counts.asScala.filter(_._2 != 0L).toMap == want)
+    assert(want == Map("y" -> 3L)) // a deleted; b,c,d all "y"
+  }
+
   test("readChangesBetweenCdf: updates emit both images; base + delta ≡ to-state") {
     val t = newTable()
     t.merge(df("a" -> "1", "b" -> "1", "c" -> "1", "z" -> "zz"),
