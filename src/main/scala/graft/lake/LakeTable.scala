@@ -337,6 +337,54 @@ final class LakeTable(val spark: SparkSession, val root: String,
     * across queries (the [[readAt]] caveat applies). */
   def readAsOf(tsMs: Long): DataFrame = readAt(snapshotAt(versionAsOf(tsMs)))
 
+  /** Commit history (`DESCRIBE HISTORY` analogue): one row per RETAINED
+    * snapshot — version, publish clock, schema version, operation kind,
+    * and for data commits the producing tag plus its lineage counters
+    * (touched buckets, upserted/deleted rows, commit wall). A version
+    * whose lineage did not grow over its predecessor is a metadata-only
+    * commit (create/evolve) and reports `operation = "ddl"` with null
+    * tag; for the OLDEST retained snapshot the predecessor may be
+    * vacuumed, so its lineage attribution is best-effort. Metadata-only:
+    * assembled from the snapshot log on the driver (O(retained
+    * versions), vacuum-bounded) — no data files are opened. */
+  def history(): DataFrame = {
+    import org.apache.spark.sql.Row
+    val snaps = snapshotVersions().map(cachedSnapshot)
+    val prevs: Seq[Option[Snapshot]] =
+      None +: snaps.init.map(Some(_): Option[Snapshot])
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    snaps.zip(prevs).foreach { case (s, prev) =>
+      val l = s.lineage.lastOption
+      val dataCommit = prev match {
+        case Some(p) => s.lineage != p.lineage
+        case None    => l.isDefined
+      }
+      rows.add(if (dataCommit)
+        Row(s.version, s.timeMs, s.schemaVer, "commit",
+          l.map(_.tag).orNull,
+          l.map(_.buckets.size).getOrElse(0),
+          l.map(_.upserted).getOrElse(0L),
+          l.map(_.deleted).getOrElse(0L),
+          l.map(_.wallMs).getOrElse(0L),
+          s.segments.size)
+      else
+        Row(s.version, s.timeMs, s.schemaVer, "ddl",
+          null, 0, 0L, 0L, 0L, s.segments.size))
+    }
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("version", IntegerType, false),
+      org.apache.spark.sql.types.StructField("time_ms", LongType, false),
+      org.apache.spark.sql.types.StructField("schema_ver", IntegerType, false),
+      org.apache.spark.sql.types.StructField("operation", StringType, false),
+      org.apache.spark.sql.types.StructField("commit_tag", StringType, true),
+      org.apache.spark.sql.types.StructField("buckets_touched", IntegerType, false),
+      org.apache.spark.sql.types.StructField("upserted", LongType, false),
+      org.apache.spark.sql.types.StructField("deleted", LongType, false),
+      org.apache.spark.sql.types.StructField("wall_ms", LongType, false),
+      org.apache.spark.sql.types.StructField("n_segments", IntegerType, false)))
+    spark.createDataFrame(rows, schema)
+  }
+
   // ---------- consistent-read pins (vacuum protection) ----------
 
   private def pinKey: String = dir.toString // fully qualified (fio.qualify)

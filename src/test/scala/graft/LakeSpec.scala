@@ -469,6 +469,27 @@ class LakeSpec extends AnyFunSuite {
     assert(e.table(spec).read().count() == 1)
   }
 
+  test("history: one row per retained snapshot — ddl vs data commits, counters, monotone clock") {
+    val t = newTable()
+    t.merge(df("a" -> "1", "b" -> "1"), Seq("ID"), "ID", "c1")
+    t.merge(df("b" -> "2"), Seq("ID"), "ID", "c2")
+    t.evolve(schema.add("W", LongType), Seq("ID"), "ID")
+    t.merge(Seq(("c", "1", 5L)).toDF("ID", "V", "W"), Seq("ID"), "ID", "c3")
+    val h = t.history().collect().sortBy(_.getInt(0))
+    assert(h.map(_.getInt(0)).toSeq == t.snapshotVersions())
+    // operation/tag attribution: create and evolve are lineage-free DDL
+    val ops = h.map(r => (r.getString(3), Option(r.getString(4)).orNull)).toSeq
+    assert(ops == Seq(("ddl", null), ("commit", "c1"), ("commit", "c2"),
+      ("ddl", null), ("commit", "c3")))
+    // lineage counters surface per data commit
+    assert(h(1).getLong(6) == 2L && h(2).getLong(6) == 1L &&
+      h(4).getLong(6) == 1L)
+    // publish clock strictly monotone; schema_ver bumps at the evolve
+    val times = h.map(_.getLong(1)).toSeq
+    assert(times == times.sorted && times.distinct == times)
+    assert(h(3).getInt(2) == h(2).getInt(2) + 1)
+  }
+
   test("time travel: readAsOf resolves the commit-clock state; times are strictly monotone") {
     val t = newTable()
     t.merge(df("a" -> "1", "b" -> "1"), Seq("ID"), "ID", "c1")
