@@ -948,7 +948,15 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
         to.get(t.fullName).map { vTo =>
           val l = table(t)
           val feed = from.get(t.fullName) match {
-            case Some(vFrom) => l.readChangesBetween(vFrom, vTo)
+            case Some(vFrom) if vFrom <= vTo => l.readChangesBetween(vFrom, vTo)
+            case Some(_) =>
+              // cutA carries a NEWER version than cutB for this table —
+              // possible when cutA took the torn-cut degrade path (pinned
+              // current state) while cutB resolved the newest common tag
+              // to an older retained snapshot. In common-tag terms nothing
+              // moved between the cuts: emit a typed empty feed instead of
+              // throwing on the inverted window.
+              l.readChangesBetween(vTo, vTo)
             case None => // table did not exist at the from-cut
               l.readAt(l.snapshotAt(vTo))
                 .withColumn("_change_type", lit("insert"))

@@ -111,6 +111,13 @@ final class Fio(conf: Configuration) extends Serializable {
     val a = new HPath(probeDir, s".fio-probe-$tag-a")
     val b = new HPath(probeDir, s".fio-probe-$tag-b")
     fs.mkdirs(probeDir)
+    // sweep leftovers from a probe that crashed between put and delete —
+    // vacuum only removes v*.json, so orphans would accumulate forever
+    // (runs once per scheme per JVM; the listing is tiny)
+    try fs.listStatus(probeDir).iterator
+      .filter(_.getPath.getName.startsWith(".fio-probe-"))
+      .foreach(st => fs.delete(st.getPath, false))
+    catch { case _: java.io.FileNotFoundException => () }
     def put(p: HPath): Unit = {
       val out = fs.create(p, true)
       try out.write('x') finally out.close()
@@ -339,6 +346,12 @@ object Fio {
   private val renameReplacesByScheme =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  /** Test hook: forget probe results (a re-registered scheme may change). */
-  private[graft] def clearAppendProbe(): Unit = appendable.clear()
+  /** Test hook: forget ALL probe results (a re-registered scheme may
+    * change either connector property — append support AND rename
+    * semantics; clearing only one would let a stale rename verdict
+    * auto-select the lost-commit publish mode on the new connector). */
+  private[graft] def clearAppendProbe(): Unit = {
+    appendable.clear()
+    renameReplacesByScheme.clear()
+  }
 }

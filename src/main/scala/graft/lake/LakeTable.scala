@@ -171,6 +171,14 @@ final class LakeTable(val spark: SparkSession, val root: String,
   /** Time-travel: the snapshot at `version` (must still be retained). */
   def snapshotAt(version: Int): Snapshot = cachedSnapshot(version)
 
+  /** Is `version`'s snapshot JSON still on disk? Vacuum keeps the newest
+    * `keepSnapshots` plus pinned versions, so retention is NOT a
+    * contiguous range once pins exist — callers holding old horizons
+    * (changefeeds, consistent cuts) check this instead of eating a raw
+    * FileNotFoundException from the log read. One `exists` call. */
+  def retained(version: Int): Boolean =
+    version >= 1 && fio.exists(new HPath(snapDir, f"v$version%05d.json"))
+
   private def readSnapshot(p: HPath, v: Int): Snapshot = {
     val o = Json.parse(fio.readString(p)).asInstanceOf[JObj]
     def arr(k: String) = o.get(k).collect { case JArr(x) => x }.getOrElse(Vector.empty)
@@ -605,12 +613,19 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val cur = currentVersion()
     require(fromV >= 1 && fromV <= toV && toV <= cur,
       s"table $name: changefeed window [$fromV, $toV] outside 1..$cur")
+    // friendly vacuumed-horizon errors for BOTH failure shapes: snapshot
+    // JSON gone (would be a raw FileNotFoundException from the log read)
+    // and JSON present but segments GC'd (materialized check below)
+    def gone(v: Int): Nothing = throw new IllegalArgumentException(
+      s"table $name: snapshot v$v was vacuumed — pin the feed horizon " +
+        "(pinSnapshot), raise keepSnapshots, or restart the feed from a " +
+        s"retained version (oldest retained: v${snapshotVersions().headOption.getOrElse(cur)})")
+    if (!retained(toV)) gone(toV)
     val to = cachedSnapshot(toV)
     if (fromV == toV) return None
+    if (!retained(fromV)) gone(fromV)
     val from = cachedSnapshot(fromV)
-    require(materialized(from),
-      s"table $name: snapshot v$fromV was vacuumed — pin the feed horizon " +
-        "(pinSnapshot) or narrow the window")
+    if (!materialized(from)) gone(fromV)
     def byBucket(s: Snapshot): Map[Int, Set[String]] =
       s.segments.groupBy(_.bucket).map { case (b, xs) =>
         b -> xs.map(_.path).toSet }

@@ -124,8 +124,11 @@ object Sampling {
     * (a doc never migrates between train and test across runs — the
     * leakage guarantee recipes need), and the FIRST part at rate r is
     * exactly [[uniformSample]]'s sample at r (nesting by construction).
-    * Rates must sum to 1; the last threshold is pinned to the full bucket
-    * space so float rounding can never leave an unlabeled row. */
+    * Rates must sum to 1; the LAST part is the unconditional `otherwise`
+    * arm, so float rounding can never leave an unlabeled row — and a
+    * NULL key (whose bucket is null, failing every `<` test) also lands
+    * in the last part rather than falling out of the partition, matching
+    * the SQL `CASE … ELSE` a recipe would write. */
   def split(df: DataFrame, keyCol: String,
       parts: Seq[(String, Double)], labelCol: String = "split"): DataFrame = {
     require(parts.nonEmpty, "split needs at least one part")
@@ -134,10 +137,9 @@ object Sampling {
     require(math.abs(parts.map(_._2).sum - 1.0) < 1e-9,
       s"part rates must sum to 1, got ${parts.map(_._2).sum}")
     val cum = parts.scanLeft(0.0) { case (acc, (_, r)) => acc + r }.tail
-    val thresholds = cum.init.map(thresholdOf) :+ BucketSpace
     val b = sampleBucket(keyAsLong(df, keyCol))
-    val labeled = parts.map(_._1).zip(thresholds)
-      .foldRight(lit(null).cast("string")) { case ((label, t), els) =>
+    val labeled = parts.init.map(_._1).zip(cum.init.map(thresholdOf))
+      .foldRight(lit(parts.last._1)) { case ((label, t), els) =>
         when(b < lit(t), lit(label)).otherwise(els)
       }
     df.withColumn(labelCol, labeled)

@@ -72,11 +72,34 @@ final class ChangefeedSource(
     }
   }
   table.pinSnapshot(baseVersion.toInt)
+  // pin-then-verify: a pin only protects FUTURE vacuums — a checkpoint
+  // (or startingVersion) older than retention must fail friendly here,
+  // not as a raw log-read error inside batch 0
+  if (!table.retained(baseVersion.toInt)) {
+    table.unpinSnapshot(baseVersion.toInt)
+    throw new IllegalArgumentException(
+      s"graft-changefeed: starting version $baseVersion of table was " +
+        "vacuumed — use startingVersion=latest, a retained version, or " +
+        "raise keepSnapshots/retention before subscribing")
+  }
   @volatile private var pinned: Set[Int] = Set(baseVersion.toInt)
+
   // rate-limit high-water: the newest version already handed to the
-  // engine (offsets must only move forward; restart re-learns it from
-  // the first getBatch's end offset)
-  @volatile private var lastReported: Long = baseVersion
+  // engine. Offsets must only move forward, and with
+  // maxVersionsPerTrigger set the value must survive restarts: after a
+  // restart whose last batch COMMITTED, Spark never calls getBatch for
+  // it, so an in-memory-only high-water would re-base at baseVersion and
+  // getOffset would report an offset BELOW the committed one —
+  // readChangesBetween(committed, lower) then wedges the checkpoint
+  // permanently. Persisted in the stream's metadata dir (the same place
+  // the base version lives), written BEFORE an offset is reported so the
+  // offset log can never get ahead of it; a crash between the two writes
+  // at worst widens one batch past the rate limit, never replays or
+  // skips data.
+  private val hwFile = new HPath(metadataPath, "graft-changefeed-hw")
+  @volatile private var lastReported: Long =
+    if (fio.exists(hwFile)) math.max(baseVersion, fio.readString(hwFile).trim.toLong)
+    else baseVersion
 
   override val schema: StructType = StructType(
     table.snapshot().schema.fields.map(_.copy(nullable = true)) :+
@@ -88,19 +111,28 @@ final class ChangefeedSource(
   }
 
   override def getOffset: Option[Offset] = {
-    val cur = table.currentVersion().toLong
+    val vs = table.snapshotVersions()
+    val cur = vs.lastOption.getOrElse(0).toLong
     // backpressure: advance at most maxVersionsPerTrigger versions per
     // micro-batch — a consumer catching up over a deep backlog processes
-    // it as bounded batches instead of one giant diff
-    val v = maxVersionsPerTrigger
+    // it as bounded batches instead of one giant diff. Pins make
+    // retention NON-contiguous (vacuum keeps newest-k PLUS pinned), so a
+    // rate-limited endpoint may name a vacuumed version — clamp forward
+    // to the oldest retained version covering it (the diff spans the
+    // gap; one batch runs larger than the limit, nothing is skipped).
+    val want = maxVersionsPerTrigger
       .fold(cur)(m => math.min(cur, math.max(lastReported, baseVersion) + m))
       .toInt
+    val v = if (want.toLong == cur) want else vs.find(_ >= want).getOrElse(cur.toInt)
     if (v > baseVersion) synchronized {
       // pin before reporting (once per version — getOffset fires every
       // trigger): the engine will read back to this version after
       // arbitrary wall time; vacuum must not outrun the batch
       if (!pinned.contains(v)) { table.pinSnapshot(v); pinned += v }
-      lastReported = math.max(lastReported, v.toLong)
+      if (v.toLong > lastReported) {
+        lastReported = v.toLong
+        fio.writeString(hwFile, lastReported.toString) // durable BEFORE reported
+      }
     }
     if (v <= baseVersion) None else Some(LongOffset(v.toLong))
   }
@@ -108,11 +140,15 @@ final class ChangefeedSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(baseVersion)
     val to = ver(end)
-    synchronized { lastReported = math.max(lastReported, to) } // restart
+    synchronized { lastReported = math.max(lastReported, math.max(from, to)) }
     // cdf=true: Delta-CDF form — updates as update_preimage/postimage
     // pairs (same schema; only the _change_type domain widens)
+    // to <= from: an inverted/stale window (possible only with a
+    // checkpoint written by a pre-high-water build) — emit an empty
+    // batch rather than wedging the checkpoint forever
     val feed =
-      if (cdf) table.readChangesBetweenCdf(from.toInt, to.toInt)
+      if (to <= from) table.readChangesBetween(to.toInt, to.toInt)
+      else if (cdf) table.readChangesBetweenCdf(from.toInt, to.toInt)
       else table.readChangesBetween(from.toInt, to.toInt)
     val batch = feed.select(schema.fieldNames.toSeq.map(col): _*)
     val qe = batch.queryExecution

@@ -65,4 +65,30 @@ class AsOfSpec extends AnyFunSuite {
     // both carried columns collapse into ONE Window operator (one sort)
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window.*")) == 1, p)
   }
+
+  test("revisions carry ATOMICALLY: a null in the newest right row stays " +
+      "null (no per-column resurrection of the previous revision)") {
+    // right k=u1: rev t=1 (price=10, disc=5), rev t=2 (price=12, disc=NULL)
+    val r = Seq(("u1", 1L, Some(10), Some(5)), ("u1", 2L, Some(12), None))
+      .toDF("k", "t", "price", "disc")
+    val l = Seq(("u1", 3L, "e")).toDF("k", "t", "lv")
+    val row = AsOf.join(l, r, Seq("k"), "t").collect().head
+    assert(row.getLong(row.fieldIndex("t_asof")) == 2L)
+    assert(row.getInt(row.fieldIndex("price")) == 12)
+    // a per-column last(ignoreNulls) sweep would leak disc=5 from t=1
+    assert(row.isNullAt(row.fieldIndex("disc")),
+      s"t=1's disc resurrected into the t=2 revision: $row")
+  }
+
+  test("null keys never match (SQL join semantics): null-key left rows " +
+      "pass through unenriched, null-key right rows enrich nothing") {
+    val l = Seq((Option.empty[String], 5L, "ln"), (Some("u1"), 5L, "l1"))
+      .toDF("k", "t", "lv")
+    val r = Seq((Option.empty[String], 3L, "rn"), (Some("u1"), 3L, "r1"))
+      .toDF("k", "t", "rv")
+    val got = AsOf.join(l, r, Seq("k"), "t").collect()
+      .map(x => x.getString(x.fieldIndex("lv")) ->
+        x.get(x.fieldIndex("rv"))).toMap
+    assert(got == Map("ln" -> null, "l1" -> "r1"))
+  }
 }

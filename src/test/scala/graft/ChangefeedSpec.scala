@@ -311,6 +311,50 @@ class ChangefeedSpec extends AnyFunSuite {
       Set("c" -> "insert", "b" -> "delete")))
   }
 
+  test("streaming source: restart with maxVersionsPerTrigger resumes past a " +
+      "COMMITTED checkpoint (high-water survives restart — wedge regression)") {
+    // regression: the rate-limit high-water used to live only in memory;
+    // after a restart whose final batch committed, Spark never calls
+    // getBatch for it, so getOffset re-based at startingVersion and
+    // reported an offset BELOW the committed one —
+    // readChangesBetween(committed, lower) then threw on every restart,
+    // permanently wedging the checkpoint.
+    import org.apache.spark.sql.DataFrame
+    val root = SparkTestSession.tmpDir("graft-cfhw-")
+    val ckpt = SparkTestSession.tmpDir("graft-cfhw-ckpt-")
+    val src = new LakeTable(spark, root, "SRC", numBuckets = 4)
+    src.create(schema, Seq("ID"), "ID")
+    src.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
+    src.merge(df("b" -> "1"), Seq("ID"), "ID", "c2")
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[(String, String)]]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-changefeed")
+        .option("root", root).option("table", "SRC")
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect().map(r => r.getString(0) ->
+            r.getString(r.fieldIndex("_change_type"))).toSet
+          if (rows.nonEmpty) seen += rows; ()
+        }.start()
+      q.processAllAvailable()
+      q.stop() // all available batches COMMITTED before the stop
+    }
+    run()
+    assert(seen.toSeq == Seq(Set("a" -> "insert"), Set("b" -> "insert")))
+
+    // the table moves on while the stream is down; the restarted query
+    // must pick up exactly the gap, one bounded batch per version
+    src.merge(df("c" -> "1"), Seq("ID"), "ID", "c3")
+    src.merge(df("a" -> "2"), Seq("ID"), "ID", "c4",
+      deleteRootKeys = Some(Seq("b").toDF("ID")))
+    run()
+    assert(seen.toSeq == Seq(
+      Set("a" -> "insert"), Set("b" -> "insert"),
+      Set("c" -> "insert"), Set("a" -> "update", "b" -> "delete")))
+  }
+
   test("streaming source: additive lake evolution mid-stream — fixed schema until restart") {
     import org.apache.spark.sql.DataFrame
     val root = SparkTestSession.tmpDir("graft-cfevo-")
@@ -411,6 +455,13 @@ class ChangefeedSpec extends AnyFunSuite {
         engine.table(graft.catalog.Catalog
           .fromTree(engine.loadRegistry("repos").get)
           .find(_.fullName == "REPOS_STATS").get).read().count())
+
+      // INVERTED window (a degraded cutA can carry a newer version than
+      // cutB resolves for a table): typed EMPTY feed, never a throw
+      val inverted = engine.changesBetween("repos", cutB, cutA)
+      assert(inverted.keySet == Set("REPOS")) // to-cut names the tables
+      assert(inverted("REPOS").count() == 0)
+      assert(inverted("REPOS").columns.contains("_change_type"))
     } finally {
       engine.releaseCut("repos", "a")
       engine.releaseCut("repos", "b")
@@ -441,6 +492,43 @@ class ChangefeedSpec extends AnyFunSuite {
       val got = betweenMap(t2, p1, t2.currentVersion())
       assert(got == Map("a" -> ("update", "3")))
     } finally t2.unpinSnapshot(p1)
+
+    // the OTHER vacuum shape: the horizon's snapshot JSON itself is gone
+    // (keepSnapshots exceeded) — same friendly error, not a raw
+    // FileNotFoundException from the log read
+    val t3 = newTable()
+    t3.merge(df("a" -> "1"), Seq("ID"), "ID", "c1")
+    val g1 = t3.currentVersion()
+    (2 to 13).foreach(i => t3.merge(df("a" -> i.toString), Seq("ID"), "ID", s"c$i"))
+    t3.vacuum(keepSnapshots = 2, graceMs = 0)
+    assert(!t3.retained(g1))
+    val e3 = intercept[IllegalArgumentException] {
+      t3.readChangesBetween(g1, t3.currentVersion())
+    }
+    assert(e3.getMessage.contains("vacuumed"), e3.getMessage)
+  }
+
+  test("streaming source: startingVersion older than retention fails friendly") {
+    val root = SparkTestSession.tmpDir("graft-cfvac-")
+    val src = new LakeTable(spark, root, "SRC", numBuckets = 4)
+    src.create(schema, Seq("ID"), "ID")
+    (1 to 13).foreach(i => src.merge(df("a" -> i.toString), Seq("ID"), "ID", s"c$i"))
+    src.vacuum(keepSnapshots = 2, graceMs = 0)
+    // the default startingVersion=1 (full backfill) names a vacuumed
+    // snapshot: the subscribe must fail with the retention story, not
+    // wedge batch 0 on a raw log-read error
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-changefeed")
+        .option("root", root).option("table", "SRC").load()
+        .writeStream.option("checkpointLocation",
+          SparkTestSession.tmpDir("graft-cfvac-ckpt-"))
+        .format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("vacuumed"))), e.toString)
   }
 
   test("streaming source: cdf=true feeds update image pairs; a feed-only rollup converges") {

@@ -709,10 +709,12 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("split") === "train")
       .select("doc_id").as[Long].collect().toSet
     assert(halfTrain == train.filter(_ % 2 == 0))
-    // null keys have no identity: label is null, not an arbitrary split
+    // null keys land in the LAST part (the unconditional otherwise arm —
+    // matching the SQL CASE…ELSE an oracle writes), never in no part:
+    // split must stay a total partition even on null-key rows
     val withNull = Seq(Some(1L), None).toDF("doc_id")
     assert(Sampling.split(withNull, "doc_id", parts)
-      .filter(col("doc_id").isNull).head().getString(1) == null)
+      .filter(col("doc_id").isNull).head().getString(1) == "test")
     // malformed recipes rejected
     intercept[IllegalArgumentException] {
       Sampling.split(documents, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
