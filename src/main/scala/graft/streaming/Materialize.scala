@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.lake.LakeTable
+
+/** Incrementally maintained MATERIALIZED VIEW: a GROUP-BY rollup of one
+  * lake table, kept as another lake table, driven by the source's
+  * Delta-CDF changefeed — the CDC loop closed as a user API instead of a
+  * hand-rolled consumer. The reference has no analogue (it ends at the
+  * relational tables, `/root/reference/src/index.ts:14-72`); this is the
+  * operator a 100 TB training-data pipeline builds per-language corpus
+  * statistics with.
+  *
+  * Semantics: `target` converges to
+  * {{{ source.groupBy(groupCol).agg(count(*) as countCol,
+  *     sum(expr_i) as name_i ...) }}}
+  * after every micro-batch (base + delta ≡ recompute — the invariant
+  * `cdc_incr_agg` oracles in batch form). Updates are consumed as
+  * `update_preimage`/`update_postimage` PAIRS, so a row moving between
+  * groups retires its old group's contribution exactly once; a group
+  * whose count reaches zero is DELETED from the target, not left at 0.
+  *
+  * Scale shape (the 10^10-row story):
+  *   - feed cost is O(changed buckets) of the SOURCE (bucket-pruned
+  *     version diff), never O(table);
+  *   - the per-batch fold is ONE hash aggregate of the feed plus a join
+  *     against the TARGET — a table with one row per group, i.e. small
+  *     by construction — with the batch's group-delta side broadcast;
+  *   - nothing is collected to the driver.
+  *
+  * Exactly-once: each micro-batch merges under tag `mv:<batchId>`; the
+  * lake's applied-tag dedup makes replays after a crash no-ops (the
+  * replayed batch recomputes against the already-merged target, then its
+  * merge is skipped on the tag — the recomputed values are discarded, so
+  * read-modify-write stays idempotent). Restart resumes from the stream
+  * checkpoint; `maxVersionsPerTrigger` bounds catch-up batches.
+  *
+  * Sum expressions must be integral (folded as LongType) — exact under
+  * signed retirement, where floating sums would drift. */
+object Materialize {
+
+  /** Start the maintenance stream. `sums` maps output column name →
+    * integral expression over the SOURCE's columns (e.g.
+    * `"BYTES" -> length(col("CONTENT"))`). The target table is created
+    * (or reused) at `targetRoot/targetName`, keyed by `groupCol`. */
+  def rollup(
+      spark: SparkSession,
+      sourceRoot: String,
+      sourceTable: String,
+      targetRoot: String,
+      targetName: String,
+      groupCol: String,
+      sums: Map[String, Column],
+      checkpoint: String,
+      countCol: String = "N",
+      targetBuckets: Int = 4,
+      maxVersionsPerTrigger: Option[Long] = None,
+  ): StreamingQuery = {
+    require(!sums.contains(countCol) && !sums.contains(groupCol),
+      s"sum column names collide with $countCol/$groupCol")
+    val sumNames = sums.keys.toSeq.sorted
+    val target = new LakeTable(spark, targetRoot, targetName, targetBuckets)
+    if (!target.exists()) {
+      val srcField = {
+        val t = new LakeTable(spark, sourceRoot, sourceTable)
+        t.snapshot().schema(groupCol)
+      }
+      target.create(StructType(
+        srcField.copy(nullable = false) +:
+          StructField(countCol, LongType) +:
+          sumNames.map(n => StructField(n, LongType))),
+        Seq(groupCol), groupCol)
+    }
+
+    val reader = spark.readStream.format("graft-changefeed")
+      .option("root", sourceRoot).option("table", sourceTable)
+      .option("cdf", "true")
+    maxVersionsPerTrigger.foreach(m =>
+      reader.option("maxVersionsPerTrigger", m.toString))
+
+    reader.load().writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyDelta(batch, target, groupCol, sums, countCol, s"mv:$id")
+        ()
+      }.start()
+  }
+
+  /** One micro-batch fold: signed feed contributions → per-group deltas →
+    * read-modify-write merge into `target`. Package-private for the
+    * batch-form tests and harness; streaming callers go through
+    * [[rollup]]. */
+  private[graft] def applyDelta(feed: DataFrame, target: LakeTable,
+      groupCol: String, sums: Map[String, Column],
+      countCol: String, tag: String): Unit = {
+    val sumNames = sums.keys.toSeq.sorted
+    val sgn = when(col("_change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val delta = feed
+      .groupBy(col(groupCol))
+      .agg(sum(sgn).as("_dn"),
+        sumNames.map(n =>
+          sum(sums(n).cast(LongType) * sgn).as(s"_d_$n")): _*)
+      // a net-zero group (e.g. an update that changed neither group nor
+      // any summed value) needs no write at all
+      .filter(col("_dn") =!= 0L ||
+        sumNames.map(n => col(s"_d_$n") =!= 0L)
+          .foldLeft(lit(false))(_ || _))
+
+    // current contributions joined in: the target has one row per group
+    // (small by construction) and sits on the RIGHT of the left join, so
+    // it broadcasts — the delta side never shuffles, and the big source
+    // table is never touched by this fold at all
+    val cur = target.read()
+      .select((col(groupCol) +: (countCol +: sumNames).map(col)): _*)
+    val merged = delta.join(broadcast(cur), Seq(groupCol), "left")
+      .select(col(groupCol) +:
+        (coalesce(col(countCol), lit(0L)) + col("_dn")).as(countCol) +:
+        sumNames.map(n =>
+          (coalesce(col(n), lit(0L)) + col(s"_d_$n")).as(n)): _*)
+
+    val upserts = merged.filter(col(countCol) > 0L)
+    val deletes = merged.filter(col(countCol) <= 0L).select(groupCol)
+    target.merge(upserts, Seq(groupCol), groupCol, tag,
+      deleteRootKeys = Some(deletes))
+    ()
+  }
+}
