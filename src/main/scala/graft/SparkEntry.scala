@@ -689,6 +689,35 @@ object SparkEntry {
           sum(col("sgn") * col("len")).as("content_len"))
         .filter(col("n_docs") > 0)
     }),
+    "cdc_mv_rollup" -> ((s, dir) => {
+      // MATERIALIZED VIEW (streaming.Materialize): the same per-LANG
+      // rollup as `cdc_incr_agg`, but maintained AS A LAKE TABLE by the
+      // read-modify-write fold the streaming MV runs per micro-batch —
+      // a backfill fold (create → v1) then the delta fold (v1 → v2),
+      // each an exactly-once tagged merge into a fresh target table.
+      // The output is the target's final state, so the recompute oracle
+      // proves the fold END TO END through the lake merge path: signed
+      // retirement, group migration, extinction deletes, tag dedup.
+      val (lake, v1, v2, _, _, _) = ensureTwoPhaseLake(s)
+      val src = entryRootTable(s, lake)
+      val mvRoot = java.nio.file.Files
+        .createTempDirectory("graft-mv-").toString
+      val mv = new graft.lake.LakeTable(s, mvRoot, "MV", numBuckets = 4)
+      mv.create(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("LANG",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content_len",
+          org.apache.spark.sql.types.LongType))), Seq("LANG"), "LANG")
+      def fold(tag: String, a: Int, b: Int): Unit =
+        graft.streaming.Materialize.applyDelta(
+          src.readChangesBetweenCdf(a, b), mv, "LANG",
+          Map("content_len" -> length(col("CONTENT"))), "n_docs", tag)
+      fold("mv:base", 1, v1)   // backfill: phase-1 state as inserts
+      fold("mv:delta", v1, v2) // the CDF window bracketing phase 2
+      mv.read()
+    }),
     "cdc_time_travel" -> ((s, dir) => {
       // TIME TRAVEL (LakeTable.readAsOf — Delta `TIMESTAMP AS OF` /
       // Iceberg as-of-timestamp analogue): read the root table AS OF
@@ -1200,6 +1229,22 @@ object SparkEntry {
     // FINAL winner state (the oracle side is the recompute — equality is
     // exactly the base + CDF-delta invariant)
     "cdc_incr_agg" ->
+      s"""WITH d AS (SELECT DISTINCT lsn, op, doc
+         |           FROM read_parquet('__OUTDIR__/engine_events/*.parquet'))
+         |SELECT json_extract_string(doc, '$$.lang') AS LANG,
+         |       count(*) AS n_docs,
+         |       CAST(sum(length(json_extract_string(doc, '$$.content')))
+         |            AS BIGINT) AS content_len
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY json_extract_string(doc, '$$.id')
+         |        ORDER BY lsn DESC) AS rn FROM d)
+         |WHERE rn = 1 AND op <> 'delete'
+         |GROUP BY 1""".stripMargin,
+
+    // the MV fold through the lake merge path must equal the same
+    // from-scratch recompute (backfill + delta ≡ recompute, now with the
+    // read-modify-write merge and extinction deletes in the loop)
+    "cdc_mv_rollup" ->
       s"""WITH d AS (SELECT DISTINCT lsn, op, doc
          |           FROM read_parquet('__OUTDIR__/engine_events/*.parquet'))
          |SELECT json_extract_string(doc, '$$.lang') AS LANG,
