@@ -46,7 +46,12 @@ object Materialize {
   /** Start the maintenance stream. `sums` maps output column name →
     * integral expression over the SOURCE's columns (e.g.
     * `"BYTES" -> length(col("CONTENT"))`). The target table is created
-    * (or reused) at `targetRoot/targetName`, keyed by `groupCol`. */
+    * (or reused) at `targetRoot/targetName`, keyed by `groupCol`;
+    * `groupExpr` lets the group be a derived expression (default: the
+    * source column named `groupCol`) — since the TARGET is itself a
+    * full lake table with its own changefeed, rollups COMPOSE into a
+    * streaming DAG (source → per-key rollup → coarser rollup), each
+    * edge an O(changed-groups) fold. */
   def rollup(
       spark: SparkSession,
       sourceRoot: String,
@@ -59,18 +64,25 @@ object Materialize {
       countCol: String = "N",
       targetBuckets: Int = 4,
       maxVersionsPerTrigger: Option[Long] = None,
+      groupExpr: Option[Column] = None,
   ): StreamingQuery = {
     require(!sums.contains(countCol) && !sums.contains(groupCol),
       s"sum column names collide with $countCol/$groupCol")
     val sumNames = sums.keys.toSeq.sorted
     val target = new LakeTable(spark, targetRoot, targetName, targetBuckets)
     if (!target.exists()) {
-      val srcField = {
-        val t = new LakeTable(spark, sourceRoot, sourceTable)
-        t.snapshot().schema(groupCol)
+      val srcSchema = new LakeTable(spark, sourceRoot, sourceTable)
+        .snapshot().schema
+      // the group column's type: the source field, or the derived
+      // expression's type resolved against an empty source-shaped frame
+      val groupType = groupExpr match {
+        case None => srcSchema(groupCol).dataType
+        case Some(e) => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), srcSchema)
+          .select(e).schema.head.dataType
       }
       target.create(StructType(
-        srcField.copy(nullable = false) +:
+        StructField(groupCol, groupType, nullable = false) +:
           StructField(countCol, LongType) +:
           sumNames.map(n => StructField(n, LongType))),
         Seq(groupCol), groupCol)
@@ -85,7 +97,8 @@ object Materialize {
     reader.load().writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyDelta(batch, target, groupCol, sums, countCol, s"mv:$id")
+        applyDelta(batch, target, groupCol, sums, countCol, s"mv:$id",
+          groupExpr)
         ()
       }.start()
   }
@@ -96,12 +109,13 @@ object Materialize {
     * [[rollup]]. */
   private[graft] def applyDelta(feed: DataFrame, target: LakeTable,
       groupCol: String, sums: Map[String, Column],
-      countCol: String, tag: String): Unit = {
+      countCol: String, tag: String,
+      groupExpr: Option[Column] = None): Unit = {
     val sumNames = sums.keys.toSeq.sorted
     val sgn = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     val delta = feed
-      .groupBy(col(groupCol))
+      .groupBy(groupExpr.getOrElse(col(groupCol)).as(groupCol))
       .agg(sum(sgn).as("_dn"),
         sumNames.map(n =>
           sum(sums(n).cast(LongType) * sgn).as(s"_d_$n")): _*)

@@ -93,6 +93,60 @@ class MaterializeSpec extends AnyFunSuite {
     assert(state(mv) == before) // tag mv:0 already applied → no-op
   }
 
+  test("cascade: the MV target is itself a changefeed source — a " +
+      "second-level rollup (derived group expression) converges") {
+    val srcRoot = SparkTestSession.tmpDir("graft-mvc-src-")
+    val mv1Root = SparkTestSession.tmpDir("graft-mvc-mv1-")
+    val mv2Root = SparkTestSession.tmpDir("graft-mvc-mv2-")
+    val ck1 = SparkTestSession.tmpDir("graft-mvc-ck1-")
+    val ck2 = SparkTestSession.tmpDir("graft-mvc-ck2-")
+    val src = new LakeTable(spark, srcRoot, "SRC", numBuckets = 4)
+    src.create(schema, Seq("ID"), "ID")
+    src.merge(df(("a", "en", 10L), ("b", "es", 20L), ("c", "de", 5L)),
+      Seq("ID"), "ID", "c1")
+
+    // level 1: per-LANG; level 2: per lang-FAMILY (first letter) — a
+    // DERIVED group over the level-1 table, consuming ITS changefeed
+    val q1 = Materialize.rollup(spark, srcRoot, "SRC", mv1Root, "MV1",
+      "LANG", Map("BYTES" -> col("SZ")), ck1)
+    val q2 = Materialize.rollup(spark, mv1Root, "MV1", mv2Root, "MV2",
+      "FAM", Map("DOCS" -> col("N"), "BYTES" -> col("BYTES")), ck2,
+      countCol = "LANGS",
+      groupExpr = Some(substring(col("LANG"), 1, 1)))
+
+    def mv2State(): Map[String, (Long, Long, Long)] = {
+      val t = new LakeTable(spark, mv2Root, "MV2", numBuckets = 4)
+      t.read().collect().map { r =>
+        r.getString(r.fieldIndex("FAM")) ->
+          (r.getLong(r.fieldIndex("LANGS")),
+            r.getLong(r.fieldIndex("DOCS")),
+            r.getLong(r.fieldIndex("BYTES")))
+      }.toMap
+    }
+    def settle(): Unit = { q1.processAllAvailable(); q2.processAllAvailable() }
+
+    settle()
+    // en,es → family e (2 langs, 2 docs, 30 bytes); de → family d
+    assert(mv2State() == Map("e" -> (2L, 2L, 30L), "d" -> (1L, 1L, 5L)))
+
+    // doc migrates es → de (family migration THROUGH both levels: es
+    // group extinct in MV1, de group grows) and a new fr doc lands
+    src.merge(df(("b", "de", 20L), ("d", "fr", 7L)), Seq("ID"), "ID", "c2")
+    settle()
+    assert(mv2State() == Map(
+      "e" -> (1L, 1L, 10L),          // en only
+      "d" -> (1L, 2L, 25L),          // de: 2 docs now
+      "f" -> (1L, 1L, 7L)))
+
+    // family EXTINCTION propagates: deleting every d-family doc must
+    // delete MV1's de row, whose delete pre-image retires family d in MV2
+    src.merge(df(), Seq("ID"), "ID", "c3",
+      deleteRootKeys = Some(Seq("b", "c").toDF("ID")))
+    settle()
+    q1.stop(); q2.stop()
+    assert(mv2State() == Map("e" -> (1L, 1L, 10L), "f" -> (1L, 1L, 7L)))
+  }
+
   test("net-zero feed groups write nothing; an update changing only the " +
       "summed value updates its group") {
     val srcRoot = SparkTestSession.tmpDir("graft-mv0-src-")
