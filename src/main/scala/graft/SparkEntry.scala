@@ -878,6 +878,22 @@ object SparkEntry {
     * products split 32/32 so INT128 never overflows), unsigned top-24
     * extraction. Ends with CTE `buckets(doc_id, lang, sample_bucket)`;
     * append `, more_ctes…` or a SELECT. */
+  /** From-scratch per-LANG rollup over the tail's final winner state —
+    * shared by `cdc_incr_agg` and `cdc_mv_rollup`: both consumers must
+    * reproduce exactly this recompute (base + delta ≡ recompute). */
+  private val RollupRecomputeSql: String =
+    s"""WITH d AS (SELECT DISTINCT lsn, op, doc
+       |           FROM read_parquet('__OUTDIR__/engine_events/*.parquet'))
+       |SELECT json_extract_string(doc, '$$.lang') AS LANG,
+       |       count(*) AS n_docs,
+       |       CAST(sum(length(json_extract_string(doc, '$$.content')))
+       |            AS BIGINT) AS content_len
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY json_extract_string(doc, '$$.id')
+       |        ORDER BY lsn DESC) AS rn FROM d)
+       |WHERE rn = 1 AND op <> 'delete'
+       |GROUP BY 1""".stripMargin
+
   private val SampleBucketsCte: String =
     """WITH z0s AS (
       |  SELECT doc_id, lang,
@@ -1228,34 +1244,14 @@ object SparkEntry {
     // incrementally maintained per-LANG rollup ≡ full recompute over the
     // FINAL winner state (the oracle side is the recompute — equality is
     // exactly the base + CDF-delta invariant)
-    "cdc_incr_agg" ->
-      s"""WITH d AS (SELECT DISTINCT lsn, op, doc
-         |           FROM read_parquet('__OUTDIR__/engine_events/*.parquet'))
-         |SELECT json_extract_string(doc, '$$.lang') AS LANG,
-         |       count(*) AS n_docs,
-         |       CAST(sum(length(json_extract_string(doc, '$$.content')))
-         |            AS BIGINT) AS content_len
-         |FROM (SELECT *, row_number() OVER (
-         |        PARTITION BY json_extract_string(doc, '$$.id')
-         |        ORDER BY lsn DESC) AS rn FROM d)
-         |WHERE rn = 1 AND op <> 'delete'
-         |GROUP BY 1""".stripMargin,
+    "cdc_incr_agg" -> RollupRecomputeSql,
 
-    // the MV fold through the lake merge path must equal the same
+    // the MV fold through the lake merge path must equal the SAME
     // from-scratch recompute (backfill + delta ≡ recompute, now with the
-    // read-modify-write merge and extinction deletes in the loop)
-    "cdc_mv_rollup" ->
-      s"""WITH d AS (SELECT DISTINCT lsn, op, doc
-         |           FROM read_parquet('__OUTDIR__/engine_events/*.parquet'))
-         |SELECT json_extract_string(doc, '$$.lang') AS LANG,
-         |       count(*) AS n_docs,
-         |       CAST(sum(length(json_extract_string(doc, '$$.content')))
-         |            AS BIGINT) AS content_len
-         |FROM (SELECT *, row_number() OVER (
-         |        PARTITION BY json_extract_string(doc, '$$.id')
-         |        ORDER BY lsn DESC) AS rn FROM d)
-         |WHERE rn = 1 AND op <> 'delete'
-         |GROUP BY 1""".stripMargin,
+    // read-modify-write merge and extinction deletes in the loop) —
+    // deliberately the identical oracle: the two queries assert the same
+    // invariant through two different consumer implementations
+    "cdc_mv_rollup" -> RollupRecomputeSql,
 
     // time travel to the phase-1 commit wall clock = the pre-cut live
     // winner state, rebuilt independently from the dumped event tail

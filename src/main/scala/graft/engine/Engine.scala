@@ -949,14 +949,27 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
           val l = table(t)
           val feed = from.get(t.fullName) match {
             case Some(vFrom) if vFrom <= vTo => l.readChangesBetween(vFrom, vTo)
-            case Some(_) =>
+            case Some(vFrom) =>
               // cutA carries a NEWER version than cutB for this table —
               // possible when cutA took the torn-cut degrade path (pinned
               // current state) while cutB resolved the newest common tag
-              // to an older retained snapshot. In common-tag terms nothing
-              // moved between the cuts: emit a typed empty feed instead of
-              // throwing on the inverted window.
-              l.readChangesBetween(vTo, vTo)
+              // to an older retained snapshot. A feed must still land the
+              // consumer EXACTLY at the to-cut (an empty feed would leave
+              // this table ahead of every other — the cross-table anomaly
+              // this API promises away), so emit the INVERSE diff: from
+              // the CDF form of the forward window (vTo → vFrom),
+              //   insert            → delete  (image = the vFrom row, the
+              //                                conventional pre-image)
+              //   delete            → insert  (image = the vTo row)
+              //   update_preimage   → update  (image = the vTo row — the
+              //                                state to roll back TO)
+              //   update_postimage  → dropped
+              l.readChangesBetweenCdf(vTo, vFrom)
+                .filter(col("_change_type") =!= "update_postimage")
+                .withColumn("_change_type",
+                  when(col("_change_type") === "insert", lit("delete"))
+                    .when(col("_change_type") === "delete", lit("insert"))
+                    .otherwise(lit("update")))
             case None => // table did not exist at the from-cut
               l.readAt(l.snapshotAt(vTo))
                 .withColumn("_change_type", lit("insert"))

@@ -113,9 +113,14 @@ final class Fio(conf: Configuration) extends Serializable {
     fs.mkdirs(probeDir)
     // sweep leftovers from a probe that crashed between put and delete —
     // vacuum only removes v*.json, so orphans would accumulate forever
-    // (runs once per scheme per JVM; the listing is tiny)
+    // (runs once per scheme per JVM; the listing is tiny). ONLY files
+    // older than an hour: a live probe's files exist for milliseconds,
+    // and deleting a CONCURRENT prober's in-flight pair would make its
+    // rename see a missing source → false → 'rename' publish cached on
+    // a replace-semantics store (the lost-commit mode itself)
     try fs.listStatus(probeDir).iterator
-      .filter(_.getPath.getName.startsWith(".fio-probe-"))
+      .filter(st => st.getPath.getName.startsWith(".fio-probe-") &&
+        st.getModificationTime < System.currentTimeMillis() - 3600000L)
       .foreach(st => fs.delete(st.getPath, false))
     catch { case _: java.io.FileNotFoundException => () }
     def put(p: HPath): Unit = {

@@ -96,10 +96,32 @@ final class ChangefeedSource(
   // offset log can never get ahead of it; a crash between the two writes
   // at worst widens one batch past the rate limit, never replays or
   // skips data.
+  // −1 = unknown (torn hw write: the file exists but does not parse —
+  // fio.writeString is create-then-write, so a crash mid-write can leave
+  // it empty). Unknown disables the rate-limit clamp for the next
+  // getOffset (it reports cur, which is never below the committed
+  // offset), trading one unbounded batch for neither a wedge nor a
+  // replay; the file is rewritten on the next advance.
   private val hwFile = new HPath(metadataPath, "graft-changefeed-hw")
   @volatile private var lastReported: Long =
-    if (fio.exists(hwFile)) math.max(baseVersion, fio.readString(hwFile).trim.toLong)
-    else baseVersion
+    if (!fio.exists(hwFile)) baseVersion
+    else scala.util.Try(fio.readString(hwFile).trim.toLong).toOption match {
+      case Some(v) => math.max(baseVersion, v)
+      case None => -1L
+    }
+  // pin the RESUME horizon too, not just the base: after a restart the
+  // first batch's FROM side is the committed offset (== the high-water
+  // on any clean stop), and stop() released every pin the old process
+  // held — without a fresh pin a vacuum between construction and the
+  // first getBatch could remove it. If it was already vacuumed while
+  // the stream was down, leave it: getBatch raises the friendly
+  // vacuumed-horizon error (the documented checkpoint-older-than-
+  // retention contract).
+  if (lastReported > baseVersion && table.retained(lastReported.toInt)) {
+    table.pinSnapshot(lastReported.toInt)
+    if (table.retained(lastReported.toInt)) pinned += lastReported.toInt
+    else table.unpinSnapshot(lastReported.toInt) // lost to vacuum: see above
+  }
 
   override val schema: StructType = StructType(
     table.snapshot().schema.fields.map(_.copy(nullable = true)) :+
@@ -120,21 +142,40 @@ final class ChangefeedSource(
     // rate-limited endpoint may name a vacuumed version — clamp forward
     // to the oldest retained version covering it (the diff spans the
     // gap; one batch runs larger than the limit, nothing is skipped).
+    // lastReported < 0 = torn high-water file: the resume horizon is
+    // unknown, so the clamp must not apply this trigger — report cur
+    // (never below any committed offset) and re-learn the high-water
+    val floor = if (lastReported < 0) cur
+      else math.max(lastReported, baseVersion)
     val want = maxVersionsPerTrigger
-      .fold(cur)(m => math.min(cur, math.max(lastReported, baseVersion) + m))
-      .toInt
-    val v = if (want.toLong == cur) want else vs.find(_ >= want).getOrElse(cur.toInt)
-    if (v > baseVersion) synchronized {
+      .fold(cur)(m => math.min(cur, floor + m)).toInt
+    val clamped =
+      if (want.toLong == cur) want else vs.find(_ >= want).getOrElse(cur.toInt)
+    if (clamped <= baseVersion) return None
+    synchronized {
       // pin before reporting (once per version — getOffset fires every
       // trigger): the engine will read back to this version after
-      // arbitrary wall time; vacuum must not outrun the batch
-      if (!pinned.contains(v)) { table.pinSnapshot(v); pinned += v }
+      // arbitrary wall time; vacuum must not outrun the batch.
+      // Pin-THEN-verify: the listing above is already stale, so a
+      // concurrent vacuum may have taken the candidate — fall forward
+      // to the head (which vacuum keeps), or skip this trigger if even
+      // that was lost to a commit+vacuum race.
+      def pinVerified(cand: Int): Boolean =
+        pinned.contains(cand) || {
+          table.pinSnapshot(cand)
+          if (table.retained(cand)) { pinned += cand; true }
+          else { table.unpinSnapshot(cand); false }
+        }
+      val v: Int =
+        if (pinVerified(clamped)) clamped
+        else if (clamped != cur.toInt && pinVerified(cur.toInt)) cur.toInt
+        else return None
       if (v.toLong > lastReported) {
         lastReported = v.toLong
         fio.writeString(hwFile, lastReported.toString) // durable BEFORE reported
       }
+      Some(LongOffset(v.toLong))
     }
-    if (v <= baseVersion) None else Some(LongOffset(v.toLong))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

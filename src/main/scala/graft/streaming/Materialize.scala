@@ -40,7 +40,12 @@ import graft.lake.LakeTable
   * checkpoint; `maxVersionsPerTrigger` bounds catch-up batches.
   *
   * Sum expressions must be integral (folded as LongType) — exact under
-  * signed retirement, where floating sums would drift. */
+  * signed retirement, where floating sums would drift. Two deliberate
+  * deltas from plain `groupBy` SQL, both forced by the target being a
+  * KEYED lake table: a NULL group key is dropped (a lake table cannot
+  * key a null — same null-key rule as Sampling), and a null sum input
+  * contributes 0 (a running total has no way to carry SQL's
+  * all-inputs-null NULL without wiping accumulated state). */
 object Materialize {
 
   /** Start the maintenance stream. `sums` maps output column name →
@@ -115,10 +120,18 @@ object Materialize {
     val sgn = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     val delta = feed
+      // the group key is the TARGET's primary key — a lake table cannot
+      // key a null, so null-group rows are dropped (the same null-key
+      // rule as Sampling; SQL's null group is not representable here)
+      .filter(groupExpr.getOrElse(col(groupCol)).isNotNull)
       .groupBy(groupExpr.getOrElse(col(groupCol)).as(groupCol))
+      // null sum inputs contribute 0, not null: sum() over an all-null
+      // batch returns null, and null + running would WIPE the group's
+      // accumulated value downstream
       .agg(sum(sgn).as("_dn"),
         sumNames.map(n =>
-          sum(sums(n).cast(LongType) * sgn).as(s"_d_$n")): _*)
+          sum(coalesce(sums(n).cast(LongType), lit(0L)) * sgn)
+            .as(s"_d_$n")): _*)
       // a net-zero group (e.g. an update that changed neither group nor
       // any summed value) needs no write at all
       .filter(col("_dn") =!= 0L ||

@@ -457,11 +457,25 @@ class ChangefeedSpec extends AnyFunSuite {
           .find(_.fullName == "REPOS_STATS").get).read().count())
 
       // INVERTED window (a degraded cutA can carry a newer version than
-      // cutB resolves for a table): typed EMPTY feed, never a throw
+      // cutB resolves for a table): the INVERSE feed — never a throw,
+      // and never a silent empty (which would strand this table ahead
+      // of every other at the to-cut). Forward inserts come back as
+      // deletes, deletes as inserts, updates as updates carrying the
+      // to-cut image.
       val inverted = engine.changesBetween("repos", cutB, cutA)
       assert(inverted.keySet == Set("REPOS")) // to-cut names the tables
-      assert(inverted("REPOS").count() == 0)
-      assert(inverted("REPOS").columns.contains("_change_type"))
+      val inv = inverted("REPOS").collect().map { r =>
+        r.getString(r.fieldIndex("ID")) ->
+          r.getString(r.fieldIndex("_change_type"))
+      }.toSet
+      val expectedInv = got.map { case (id, ct) =>
+        id -> (ct match {
+          case "insert" => "delete"
+          case "delete" => "insert"
+          case u => u
+        })
+      }
+      assert(inv == expectedInv)
     } finally {
       engine.releaseCut("repos", "a")
       engine.releaseCut("repos", "b")

@@ -147,6 +147,40 @@ class MaterializeSpec extends AnyFunSuite {
     assert(mv2State() == Map("e" -> (1L, 1L, 10L), "f" -> (1L, 1L, 7L)))
   }
 
+  test("null handling: null group keys are dropped (a keyed table can't " +
+      "key a null); a null sum input contributes 0 without wiping the " +
+      "running total") {
+    val srcRoot = SparkTestSession.tmpDir("graft-mvn-src-")
+    val mvRoot = SparkTestSession.tmpDir("graft-mvn-dst-")
+    val src = new LakeTable(spark, srcRoot, "SRC", numBuckets = 4)
+    src.create(schema, Seq("ID"), "ID")
+    src.merge(df(("a", "en", 10L)), Seq("ID"), "ID", "c1")
+
+    val mv = new LakeTable(spark, mvRoot, "MV", numBuckets = 4)
+    mv.create(StructType(Seq(
+      StructField("LANG", StringType, nullable = false),
+      StructField("N", LongType), StructField("BYTES", LongType))),
+      Seq("LANG"), "LANG")
+    def fold(tag: String, fromV: Int, toV: Int): Unit =
+      Materialize.applyDelta(src.readChangesBetweenCdf(fromV, toV),
+        mv, "LANG", Map("BYTES" -> col("SZ")), "N", tag)
+
+    val v1 = src.currentVersion()
+    fold("mv:a", 1, v1)
+    assert(state(mv) == Map("en" -> (1L, 10L)))
+
+    // (x, null, 5): group key null → dropped, lands in no group;
+    // (b, en, null): counts as a doc, contributes 0 bytes — and must
+    // NOT null out en's accumulated 10 (sum over an all-null batch
+    // would otherwise poison the running total)
+    val withNulls = Seq(
+      ("x", Option.empty[String], Some(5L)),
+      ("b", Some("en"), Option.empty[Long])).toDF("ID", "LANG", "SZ")
+    src.merge(withNulls, Seq("ID"), "ID", "c2")
+    fold("mv:b", v1, src.currentVersion())
+    assert(state(mv) == Map("en" -> (2L, 10L)))
+  }
+
   test("net-zero feed groups write nothing; an update changing only the " +
       "summed value updates its group") {
     val srcRoot = SparkTestSession.tmpDir("graft-mv0-src-")
