@@ -560,6 +560,44 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       line)
   }
 
+  /** The applied-event metrics log as a DataFrame — one row per applied
+    * micro-batch (publish ts, query name, batch id, event/doc/delete/
+    * revision-skip counts, tables touched, apply wall), the read surface
+    * of the log [[stream]] writes and [[LakeTable.history]]'s
+    * operational sibling: history answers "what did each COMMIT do per
+    * table", this answers "what did each BATCH do across the entity".
+    * Driver-side parse, O(applied batches); rotated part files (the
+    * append-less-store fallback) are reassembled by `Fio.readLog`.
+    * Empty (zero-row, typed) when no stream has run. */
+  def metricsLog(entity: String): DataFrame = {
+    import graft.schema.{JNum, JObj, JStr}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val text = fio.readLog(
+      new HPath(new HPath(lakeRoot), s"_metrics_$entity.jsonl"))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    text.linesIterator.filter(_.nonEmpty).foreach { ln =>
+      val o = Json.parse(ln).asInstanceOf[JObj]
+      def num(k: String): Long =
+        o.get(k).collect { case JNum(n) => n.toLong }.get
+      def str(k: String): String =
+        o.get(k).collect { case JStr(s) => s }.get
+      rows.add(Row(num("ts"), str("query"), num("batch"),
+        num("batchEvents"), num("dedupedDocs"), num("deletes"),
+        num("skippedUnchanged"), num("tables"), num("wallMs")))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("ts", LongType, nullable = false),
+      StructField("query", StringType, nullable = false),
+      StructField("batch", LongType, nullable = false),
+      StructField("batch_events", LongType, nullable = false),
+      StructField("deduped_docs", LongType, nullable = false),
+      StructField("deletes", LongType, nullable = false),
+      StructField("skipped_unchanged", LongType, nullable = false),
+      StructField("tables", LongType, nullable = false),
+      StructField("wall_ms", LongType, nullable = false))))
+  }
+
   /** Bootstrap from a TABLE SNAPSHOT (the north rule's input shape — an
     * Iceberg-style table of source-code repositories, e.g.
     * `(repo, path, commit, lang, content)`): each row becomes a document

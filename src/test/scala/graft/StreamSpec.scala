@@ -83,6 +83,17 @@ class StreamSpec extends AnyFunSuite {
     assert(total >= cleanApplied && total <= 600,
       s"metrics events sum $total outside [$cleanApplied, 600]")
     assert(metrics.toArray.forall(_.toString.contains("\"tables\":")))
+
+    // the same log through the first-class read surface: typed rows,
+    // same batch count, consistent event sum, every wall measured
+    val mlog = engine.metricsLog("repos")
+    val mrows = mlog.orderBy("ts", "batch").collect()
+    assert(mrows.length == metrics.size())
+    assert(mrows.map(_.getLong(mlog.columns.indexOf("batch_events"))).sum
+      == total)
+    assert(mrows.forall(_.getLong(mlog.columns.indexOf("wall_ms")) >= 0))
+    assert(mrows.map(_.getString(mlog.columns.indexOf("query"))).distinct
+      .forall(_.nonEmpty))
   }
 
   test("rebucket MID-STREAM: growth re-layout between micro-batches; old-layout reader stays consistent") {
