@@ -30,6 +30,10 @@ object SubmitSmoke {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // Spark 4.1's checksummed checkpoint file manager deadlocks in this
+      // sandbox (see verify skill gotchas) — same setting the test
+      // session uses for every streaming suite
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -79,6 +83,37 @@ object SubmitSmoke {
     assert(sh != 0L, "simhash64 returned 0 for non-empty text")
     assert(lid == "en", s"lang_id misread plain English as $lid")
     assert(sb == graft.ops.Sampling.bucketOf(42L), "sample_bucket mismatch")
+
+    // 4. the lake as a STREAM through the packaged jar: the changefeed
+    //    source must resolve by shortName (the DataSourceRegister service
+    //    file travels in the jar) and drive an exactly-once Materialize
+    //    rollup on this multi-executor master
+    {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val srcRoot = s"$lakeRoot/mvsrc"
+      val mvSrc = new graft.lake.LakeTable(spark, srcRoot, "SRC", numBuckets = 4)
+      mvSrc.create(StructType(Seq(
+        StructField("ID", StringType, nullable = false),
+        StructField("LANG", StringType), StructField("SZ", LongType))),
+        Seq("ID"), "ID")
+      mvSrc.merge(Seq(("a", "en", 10L), ("b", "de", 4L)).toDF("ID", "LANG", "SZ"),
+        Seq("ID"), "ID", "c1")
+      val q = graft.streaming.Materialize.rollup(spark, srcRoot, "SRC",
+        s"$lakeRoot/mvdst", "MV", "LANG", Map("BYTES" -> col("SZ")),
+        s"$lakeRoot/mvckpt")
+      q.processAllAvailable()
+      mvSrc.merge(Seq(("c", "en", 5L)).toDF("ID", "LANG", "SZ"),
+        Seq("ID"), "ID", "c2")
+      q.processAllAvailable()
+      q.stop()
+      val mvState = new graft.lake.LakeTable(spark, s"$lakeRoot/mvdst", "MV",
+        numBuckets = 4).read().collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      println(s"[submit-smoke] mv=$mvState")
+      assert(mvState == Map("en" -> (2L, 15L), "de" -> (1L, 4L)),
+        s"MV rollup diverged: $mvState")
+    }
 
     // read membership AFTER the work so executor registration has settled;
     // getExecutorMemoryStatus counts the driver too, so executors = size - 1
