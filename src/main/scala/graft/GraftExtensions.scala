@@ -18,6 +18,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * [[graft.functions.expressions.registerAll]] for sessions that already
   * exist. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.all.foreach(ext.injectFunction)
+    // table-valued functions: changefeeds / time travel / history /
+    // metrics as plain FROM-clause citizens (Delta's table_changes shape)
+    graft.functions.GraftTableFunctions.all.foreach(ext.injectTableFunction)
+  }
 }

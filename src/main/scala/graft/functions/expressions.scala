@@ -344,19 +344,19 @@ object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
 
-  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+  private[functions] def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, _)  => v
     case Literal(v: Long, _) => v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }
-  private def longLit(e: Expression, fn: String, arg: String): Long = e match {
+  private[functions] def longLit(e: Expression, fn: String, arg: String): Long = e match {
     case Literal(v: Int, _)  => v.toLong
     case Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }
-  private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
+  private[functions] def arity(fn: String, es: Seq[Expression], n: Int): Unit =
     if (es.length != n) throw new IllegalArgumentException(
       s"$fn expects $n arguments, got ${es.length}")
 

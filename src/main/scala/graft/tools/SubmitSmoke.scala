@@ -113,6 +113,19 @@ object SubmitSmoke {
       println(s"[submit-smoke] mv=$mvState")
       assert(mvState == Map("en" -> (2L, 15L), "de" -> (1L, 4L)),
         s"MV rollup diverged: $mvState")
+
+      // 5. table-valued functions through the SAME extensions conf: the
+      //    changefeed and commit history as plain FROM-clause SQL
+      val histN = spark.sql(
+        s"SELECT count(*) FROM graft_history('$srcRoot', 'SRC')")
+        .head().getLong(0)
+      assert(histN == mvSrc.snapshotVersions().size,
+        s"graft_history rows $histN != retained snapshots")
+      val chN = spark.sql(s"SELECT count(*) FROM graft_changes(" +
+        s"'$srcRoot', 'SRC', 1, ${mvSrc.currentVersion()})")
+        .head().getLong(0)
+      assert(chN == 3, s"expected 3 net inserts in the full window, got $chN")
+      println(s"[submit-smoke] tvf history=$histN changes=$chN")
     }
 
     // read membership AFTER the work so executor registration has settled;
