@@ -79,6 +79,15 @@ object GraftTableFunctions {
           .readChangesBetweenCdf(
             intLit(es(2), "graft_changes_cdf", "fromVersion"),
             intLit(es(3), "graft_changes_cdf", "toVersion"))) }),
+    fn("graft_changes_since",
+      "graft_changes_since(root, table, horizonSeq) - seq-space " +
+        "changefeed: net upserts + deletes past a visibility-seq " +
+        "horizon, from the current snapshot (Hudi incremental query)",
+      es => { arity("graft_changes_since", es, 3)
+        plan(open(strLit(es(0), "graft_changes_since", "root"),
+          strLit(es(1), "graft_changes_since", "table"))
+          .readChangesSince(
+            longLit(es(2), "graft_changes_since", "horizonSeq"))) }),
     fn("graft_at",
       "graft_at(root, table, tsMillis) - time travel: the table state " +
         "as of the commit wall clock (TIMESTAMP AS OF)",

@@ -54,6 +54,13 @@ class TvfSpec extends AnyFunSuite {
         "WHERE _change_type = 'delete'").collect().map(_.getString(0)).toSeq
     assert(deletesOnly == Seq("b"))
 
+    // seq-space feed: everything past the c1 commit's visibility seq
+    val sqlSince = rows(spark.sql(
+      s"SELECT ID, V, _change_type FROM graft_changes_since('$root', 'T', $v1)"))
+    assert(sqlSince == rows(t.readChangesSince(v1)
+      .select("ID", "V", "_change_type")))
+    assert(sqlSince.nonEmpty)
+
     // time travel: as-of the v1 publish clock = the v1 state
     val sqlAt = rows(spark.sql(
       s"SELECT ID, V FROM graft_at('$root', 'T', ${ts1}L)"))
