@@ -484,6 +484,17 @@ object Bench {
       if (pairedEffs.size >= 2) pairedEffs.max / pairedEffs.min else 1.0
     if (effSpread > 1.3)
       reasons += f"paired efficiencies spread $effSpread%.2fx across rounds (intra-phase steal; non-stationary window)"
+    // A SHORT capture (budget admitted fewer rounds than requested) has a
+    // median that cannot shed a stolen round — a 2-round median is just a
+    // mean. Harmless when the rounds agree; when they disperse, the
+    // estimate inherits whatever steal landed in one of them and the
+    // window must not read clean (r7-w10/w11: paired [0.853, 0.714] /
+    // [0.873, 0.716] on slow host-days whose >100 s lows pushed round-2
+    // entry past the budget — both carried verdict "clean" before this
+    // rule). GRAFT_BENCH_BUDGET_SECS raises the budget when a full
+    // 3-round capture matters more than the wall-clock bound.
+    if (pairedEffs.size < rounds && effSpread > 1.15)
+      reasons += f"only ${pairedEffs.size} of $rounds rounds fit the budget and they disperse $effSpread%.2fx - the short median cannot shed a stolen round"
     val quality =
       if (pairedEffs.exists(_ > 1.0) || worstProbe > 1.6) "unusable"
       else if (reasons.nonEmpty) "degraded"
@@ -494,6 +505,7 @@ object Bench {
       s""""probe_secs":${probes.map { case (l, s) =>
         s""""$l":${f"$s%.2f"}""" }.mkString("{", ",", "}")},""" +
       s""""worst_probe_over_quiet":${f"$worstProbe%.2f"},""" +
+      s""""rounds_completed":${pairedEffs.size},"rounds_requested":$rounds,""" +
       s""""low_spread":${f"$lowSpread%.2f"},""" +
       s""""eff_spread":${f"$effSpread%.2f"},""" +
       s""""reasons":${reasons.map(r => s""""$r"""").mkString("[", ",", "]")}}"""
