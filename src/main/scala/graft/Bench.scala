@@ -495,6 +495,11 @@ object Bench {
     // 3-round capture matters more than the wall-clock bound.
     if (pairedEffs.size < rounds && effSpread > 1.15)
       reasons += f"only ${pairedEffs.size} of $rounds rounds fit the budget and they disperse $effSpread%.2fx - the short median cannot shed a stolen round"
+    // the degenerate short capture: ONE round has no dispersion evidence
+    // at all — it can neither shed nor even detect a stolen round, so it
+    // must never read clean regardless of spread (which defaults to 1.0)
+    if (pairedEffs.size == 1 && rounds > 1)
+      reasons += s"single-round capture (budget admitted 1 of $rounds rounds) - no dispersion evidence; estimate cannot shed or detect steal"
     val quality =
       if (pairedEffs.exists(_ > 1.0) || worstProbe > 1.6) "unusable"
       else if (reasons.nonEmpty) "degraded"

@@ -576,15 +576,26 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     val text = fio.readLog(
       new HPath(new HPath(lakeRoot), s"_metrics_$entity.jsonl"))
     val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    // lenient line parse: this is a metrics LOG, not a ledger — a torn
+    // final line from a crash mid-append (plain O_APPEND write) must not
+    // permanently break the read surface; unparseable lines are skipped
     text.linesIterator.filter(_.nonEmpty).foreach { ln =>
-      val o = Json.parse(ln).asInstanceOf[JObj]
-      def num(k: String): Long =
-        o.get(k).collect { case JNum(n) => n.toLong }.get
-      def str(k: String): String =
-        o.get(k).collect { case JStr(s) => s }.get
-      rows.add(Row(num("ts"), str("query"), num("batch"),
-        num("batchEvents"), num("dedupedDocs"), num("deletes"),
-        num("skippedUnchanged"), num("tables"), num("wallMs")))
+      val parsed = for {
+        o <- Json.parseOpt(ln).collect { case j: JObj => j }
+        row <- {
+          def num(k: String): Option[Long] =
+            o.get(k).collect { case JNum(n) => n.toLong }
+          def str(k: String): Option[String] =
+            o.get(k).collect { case JStr(s) => s }
+          for {
+            ts <- num("ts"); q <- str("query"); b <- num("batch")
+            ev <- num("batchEvents"); dd <- num("dedupedDocs")
+            del <- num("deletes"); sk <- num("skippedUnchanged")
+            tb <- num("tables"); w <- num("wallMs")
+          } yield Row(ts, q, b, ev, dd, del, sk, tb, w)
+        }
+      } yield row
+      parsed.foreach(rows.add(_))
     }
     spark.createDataFrame(rows, StructType(Seq(
       StructField("ts", LongType, nullable = false),

@@ -346,7 +346,13 @@ object GraftFunctions {
 
   private[functions] def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, _)  => v
-    case Literal(v: Long, _) => v.toInt
+    // SQL integer literals can parse as Long: range-check instead of
+    // truncating (a wrapped bigint would silently become a DIFFERENT
+    // valid value — e.g. a changefeed window landing on the wrong
+    // snapshot version with no error)
+    case Literal(v: Long, _) if v.isValidInt => v.toInt
+    case Literal(v: Long, _) => throw new IllegalArgumentException(
+      s"$fn: $arg = $v is outside the Int range")
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }

@@ -28,7 +28,17 @@ import graft.lake.LakeTable
   * the builder runs during ANALYSIS — it resolves the lake table once and
   * splices the reader's logical plan (bucket-pruned diffs, threshold-walk
   * time travel, driver-side history) into the outer query, so all the
-  * library readers' pruning survives into the SQL form. */
+  * library readers' pruning survives into the SQL form.
+  *
+  * Consequence of analysis-time resolution (document-level contract): a
+  * TVF call binds to the lake state visible when the QUERY is analyzed —
+  * snapshot-isolation per query, the same as holding the library
+  * reader's DataFrame. A `CREATE TEMP VIEW` over a TVF therefore
+  * FREEZES that binding (Spark stores the analyzed plan): the view
+  * keeps answering from the creation-time snapshot and, like any held
+  * DataFrame, can hit vacuumed segments later. Re-issue the TVF query
+  * (or recreate the view) for fresh state; pin the version for feeds
+  * held across time, exactly as with the library readers. */
 object GraftTableFunctions {
   import GraftFunctions.{arity, intLit, longLit}
 
@@ -37,8 +47,9 @@ object GraftTableFunctions {
 
   private def strLit(e: Expression, fn: String, arg: String): String =
     e match {
+      // a StringType Literal's value is always a UTF8String (Literal's
+      // constructor validates it) — one case suffices
       case Literal(u: UTF8String, StringType) => u.toString
-      case Literal(v, StringType) if v != null => v.toString
       case other => throw new IllegalArgumentException(
         s"$fn: $arg must be a string literal, got $other")
     }

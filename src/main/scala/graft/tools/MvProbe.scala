@@ -66,10 +66,16 @@ object MvProbe {
     // same pmod(xxhash64) layout function) — the shape of a real small
     // CDC batch against a well-bucketed 10^10-row table, where the
     // changed-bucket fraction, not the row count, is what the feed pays
+    // cache pins the limit's row selection: a multi-partition limit picks
+    // rows by task arrival order, so re-executing the plan (merge vs the
+    // changed-groups count below) could otherwise describe a DIFFERENT
+    // subset than the one actually merged
     val updBatch = base
       .filter(pmod(xxhash64(col("ID")), lit(64)) < 2)
       .limit(updKeys)
       .select(col("ID"), col("G"), (col("SZ") + 1L).as("SZ"))
+      .cache()
+    updBatch.count()
     src.merge(updBatch, Seq("ID"), "ID", "upd")
     val v2 = src.currentVersion()
 
