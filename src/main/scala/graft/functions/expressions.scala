@@ -232,6 +232,99 @@ final case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Matching-position count of two equal-length `array<bigint>` MinHash
+  * signatures — the per-candidate-pair estimate kernel of
+  * [[graft.ops.Dedup.minhashPairs]]. The previous
+  * `aggregate(zip_with(...))` column form is a higher-order function:
+  * HOFs are CodegenFallback (interpreted lambda eval, boxed Longs) and
+  * this runs once per ENUMERATED candidate pair — orders of magnitude
+  * more rows than the corpus — which made it the dominant cost of the
+  * whole LSH query (measured: ~2.2 s of `dedup_minhash_lsh`'s 2.8 s at
+  * sf0.1). Null/shape semantics replicate the lambda form exactly: null
+  * input → null, length mismatch → null (zip_with pads with nulls and
+  * the sum folds to null). */
+final case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sig_match_count"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sig_match_count expects two ARRAY<BIGINT> signatures, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.ops.Dedup.sigMatchCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |Integer r = graft.ops.Dedup.sigMatchCount($a, $b);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = r.intValue(); }
+       """.stripMargin)
+    res
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity of two `array<float>` embeddings as a native kernel.
+  * The arithmetic is EXACTLY the declarative
+  * `aggregate(zip_with(...))` fold it replaces (see
+  * [[graft.ops.Similarity.cosineCols]]): per-element cast to double
+  * before multiply, three independent sequential left-folds in array
+  * order (dot, |a|², |b|²), then `dot / sqrt(na * nb)` with NO zero
+  * guard — bit-identical doubles, so the DuckDB oracle comparison is
+  * unchanged. Null/shape semantics also replicate the lambda chain:
+  * null array → null, length mismatch → null, null element → null.
+  * Why native: HOFs are CodegenFallback, and this kernel runs once per
+  * enumerated candidate pair in [[graft.ops.Dedup.embeddingPairs]] and
+  * once per row in every ANN rerank. */
+final case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    })) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects two ARRAY<FLOAT> embeddings, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.ops.Similarity.cosineArrayData(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |Double r = graft.ops.Similarity.cosineArrayData($a, $b);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = r.doubleValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `collect_list` with a HARD per-group element bound — the hot-bucket
   * guard of every LSH family ([[graft.ops.Dedup]] bucketPairs). Plain
   * `collect_list` + a post-hoc `size <= cap` filter still materializes a
@@ -322,6 +415,12 @@ object expressions {
     GraftBridge.column(WordShingles(GraftBridge.expression(c), n))
   def sortedJaccard(a: Column, b: Column): Column =
     GraftBridge.column(SortedJaccard(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
+  def sigMatchCount(a: Column, b: Column): Column =
+    GraftBridge.column(SigMatchCount(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
+  def cosineSim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(GraftBridge.expression(a),
       GraftBridge.expression(b)))
   def sampleBucket(c: Column): Column =
     GraftBridge.column(SampleBucket64(GraftBridge.expression(c.cast("long"))))

@@ -120,6 +120,24 @@ object Dedup {
     sig
   }
 
+  /** Matching-position count of two signature arrays — the
+    * [[graft.functions.SigMatchCount]] kernel body (ArrayData form, zero
+    * boxing in the loop). Null element or length mismatch → null, exactly
+    * like the `aggregate(zip_with(...))` column fold it replaces. */
+  def sigMatchCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Integer = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var same = 0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      if (a.getLong(i) == b.getLong(i)) same += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(same)
+  }
+
   /** Estimated Jaccard from two signatures. */
   def estJaccard(a: Array[Long], b: Array[Long]): Double = {
     var same = 0; var i = 0
@@ -232,15 +250,30 @@ object Dedup {
     * `r`, the two payload structs of each candidate pair. */
   private def bucketPairs(banded: DataFrame, keyCols: Seq[String],
       payload: Column, cap: Option[Int]): DataFrame = {
+    // SINGLETON PRE-FILTER (r8): in a healthy LSH layout the vast
+    // majority of buckets hold ONE row (measured: 226k of 240k buckets at
+    // sf0.1's word-3-gram banding) and emit no pairs — yet each singleton
+    // still cost an object-agg buffer, its partial→final serialization
+    // round-trip, and (past 128 groups/partition) the
+    // ObjectHashAggregate sort-based fallback. A window count on the same
+    // key drops them first with a plain codegen'd count, and because the
+    // window establishes hashpartitioning(keyCols) the collect aggregate
+    // below REUSES that exchange — one shuffle total, object buffers only
+    // for buckets that can produce pairs (guide §2.4: two operations
+    // keyed the same way share one exchange).
+    val sized = banded
+      .withColumn("_gn", count(lit(1))
+        .over(Window.partitionBy(keyCols.map(col): _*)))
+      .filter(col("_gn") >= 2)
     val capped = cap match {
       case None =>
-        banded.groupBy(keyCols.map(col): _*)
+        sized.groupBy(keyCols.map(col): _*)
           .agg(collect_list(payload).as("_grp"))
       case Some(c) =>
         ensureCapReporter(banded.sparkSession)
-        banded.groupBy(keyCols.map(col): _*)
+        sized.groupBy(keyCols.map(col): _*)
           .agg(graft.functions.expressions.collectUpTo(payload, c + 1)
-            .as("_grp"), count(lit(1)).as("_gn"))
+            .as("_grp"), max(col("_gn")).as("_gn"))
           .observe(s"graft.capdrop.${capDropSeq.incrementAndGet()}",
             coalesce(sum(when(col("_gn") > c, col("_gn"))), lit(0L))
               .as("dropped_rows"),
@@ -275,10 +308,14 @@ object Dedup {
       b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(bandh).as(Seq("band", "bh")))
-    // est Jaccard = matching signature positions / numHashes — pure column
-    // expression, stays in whole-stage codegen
-    val est = aggregate(zip_with(col("l.sig"), col("r.sig"),
-      (x, y) => (x === y).cast("int")), lit(0), (acc, x) => acc + x)
+    // est Jaccard = matching signature positions / numHashes. NATIVE
+    // kernel, not `aggregate(zip_with(...))`: higher-order functions are
+    // CodegenFallback (interpreted, boxed) and this expression runs once
+    // per ENUMERATED candidate pair — at sf0.1 that interpreted eval was
+    // ~80% of the whole query's wall (guide §4.1: prefer codegen'd
+    // expressions on the hot path)
+    val est = graft.functions.expressions
+      .sigMatchCount(col("l.sig"), col("r.sig"))
       .cast("double") / numHashes
     bucketPairs(banded, Seq("band", "bh"),
       struct(col("id"), col("sig")), maxBucket)
@@ -365,21 +402,34 @@ object Dedup {
   def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 5, threshold: Double = 0.6,
       wordGrams: Option[Int] = None): DataFrame = {
-    val shExpr = wordGrams match {
-      case Some(n) => graft.functions.expressions.wordShingles(col(textCol), n)
-      case None    => graft.functions.expressions.charShingles(col(textCol), shingleK)
+    def shOf(t: Column) = wordGrams match {
+      case Some(n) => graft.functions.expressions.wordShingles(t, n)
+      case None    => graft.functions.expressions.charShingles(t, shingleK)
     }
-    val sh = df.select(col(idCol).as("id"), shExpr.as("sh"))
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("_gvtext"))
     val melted = pairs
       .select(col("id1"), col("id2"), explode(array(
         struct(lit(1).as("side"), col("id1").as("id")),
         struct(lit(2).as("side"), col("id2").as("id")))).as("_s"))
       .select(col("id1"), col("id2"),
         col("_s.side").as("side"), col("_s.id").as("id"))
-    melted.join(sh, "id")
+    // JOIN FIRST, shingle AFTER: the kernel sits above the join, so it
+    // runs once per (pair, side) row — candidates only — instead of once
+    // per CORPUS document (the previous `sh`-frame shape computed
+    // shingles for every doc and then dropped the non-candidates in the
+    // join; the whole-corpus kernel pass is pure waste whenever
+    // candidate pairs ≪ corpus, the normal dedup regime — guide §2.3
+    // "project before the exchange" applied to compute). The `when`
+    // branches evaluate lazily, so each row pays exactly one kernel
+    // call, map-side, inside the partial aggregate. Join semantics are
+    // unchanged (inner on id — absent ids still drop their pair via the
+    // not-null filter below).
+    melted.join(docs, "id")
       .groupBy("id1", "id2")
-      .agg(first(when(col("side") === 1, col("sh")), ignoreNulls = true).as("sh1"),
-        first(when(col("side") === 2, col("sh")), ignoreNulls = true).as("sh2"))
+      .agg(first(when(col("side") === 1, shOf(col("_gvtext"))),
+          ignoreNulls = true).as("sh1"),
+        first(when(col("side") === 2, shOf(col("_gvtext"))),
+          ignoreNulls = true).as("sh2"))
       .filter(col("sh1").isNotNull && col("sh2").isNotNull)
       .withColumn("jaccard", round(
         graft.functions.expressions.sortedJaccard(col("sh1"), col("sh2")), 4))
@@ -533,21 +583,25 @@ object Dedup {
     var converged = false
     while (!converged && round < maxRounds) {
       // large-star: hang every node's LARGER neighbors off the minimum of
-      // its closed neighborhood. groupBy-min then join back — both keyed
-      // on u, so the join reuses the aggregation's partitioning.
+      // its closed neighborhood. ONE window per phase (r8): min-over-
+      // partition computes the neighborhood minimum AND keeps the rows in
+      // the same exchange — the previous groupBy-min + join-back shape
+      // paid TWO exchanges of `sym` per phase (one into the aggregate,
+      // one into the join) for the same answer (guide §2.4). The window's
+      // partition sort is on the same key the sort-merge join would have
+      // sorted anyway at scale.
       val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      // no distinct here: duplicate edges can't change small-star's
-      // groupBy-min, and dropping it saves a full shuffle per round
-      val large = sym.filter(col("v") > col("u")).join(mins, "u")
+      val large = sym
+        .withColumn("m", least(col("u"),
+          min("v").over(Window.partitionBy("u"))))
+        .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
       // small-star: large-star output already has u > v (v > old-u ≥ m),
       // so it IS the canonical smaller-neighbor orientation; re-hang each
       // node and its smaller neighbors off the neighborhood minimum.
-      val mins2 = large.groupBy("u").agg(min("v").as("m"))
-      val small = large.join(mins2, "u")
+      val small = large
+        .withColumn("m", min("v").over(Window.partitionBy("u")))
         .select(explode(array(struct(col("u").as("a"), col("m").as("b")),
           struct(col("v").as("a"), col("m").as("b")))).as("e"))
         .select(col("e.a").as("u"), col("e.b").as("v"))
@@ -580,8 +634,12 @@ object Dedup {
     val roots = edges.select(col("v").as("id"), col("v").as("component")).distinct()
     val comp = members.unionByName(roots)
       .groupBy("id").agg(min("component").as("component"))
-    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
-    val out = comp.join(sizes, "component").select("id", "component", "cluster_size")
+    // cluster size via a window over the component instead of a groupBy +
+    // join-back (r8): same rows, one exchange fewer (guide §2.4)
+    val out = comp
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .select("id", "component", "cluster_size")
     // deliberately NOT freeing the final round's checkpoint blocks here:
     // `out` reads them and the truncated lineage cannot recompute
     (out, round)

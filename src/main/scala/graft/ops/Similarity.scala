@@ -57,23 +57,48 @@ object Similarity {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
-  /** Cosine between two array<float> COLUMNS as a pure column expression
-    * (codegen'd — no UDF in the scan). Elements are cast to double BEFORE
-    * multiplication so the arithmetic (double mult, sequential double
-    * fold) is bit-identical to an ANSI-SQL oracle's
-    * `list_dot_product(CAST(a AS DOUBLE[]), CAST(b AS DOUBLE[]))`. */
-  def cosineCols(v: Column, q: Column): Column = {
-    // casts INSIDE the fold lambdas: no intermediate double arrays get
-    // materialized per row (a transform() chain allocated 3-4 of them
-    // and doubled the scan cost)
-    val dot = aggregate(zip_with(v, q,
-      (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val n1 = aggregate(v, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))
-    val n2 = aggregate(q, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))
-    dot / sqrt(n1 * n2)
+  /** Cosine between two array<float> COLUMNS — the native
+    * [[graft.functions.CosineSim]] kernel (whole-stage codegen, zero
+    * boxing). Elements are cast to double BEFORE multiplication and the
+    * three folds run sequentially in array order, so the arithmetic is
+    * bit-identical to an ANSI-SQL oracle's
+    * `list_dot_product(CAST(a AS DOUBLE[]), CAST(b AS DOUBLE[]))` — and
+    * to the `aggregate(zip_with(...))` column chain this replaces. The
+    * lambda chain was a higher-order function: HOFs are CodegenFallback
+    * (interpreted eval, boxed doubles), and this kernel runs once per
+    * enumerated candidate pair in `Dedup.embeddingPairs` and once per
+    * row in every ANN rerank — the interpreted form was the dominant
+    * cost of `dedup_embedding` (guide §4.1). */
+  def cosineCols(v: Column, q: Column): Column =
+    graft.functions.expressions.cosineSim(v, q)
+
+  /** [[graft.functions.CosineSim]] kernel body (ArrayData form): three
+    * sequential double folds in array order, `dot / sqrt(na * nb)` with
+    * no zero guard — exactly the declarative fold's IEEE sequence. Null
+    * element or length mismatch → null (zip_with pads with nulls and the
+    * folds collapse to null). */
+  def cosineArrayData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    var dot = 0.0
+    i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    var na = 0.0
+    i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < n) { val x = b.getFloat(i).toDouble; nb += x * x; i += 1 }
+    java.lang.Double.valueOf(dot / math.sqrt(na * nb))
   }
 
   /** Cosine against a literal query vector (same double-first arithmetic). */
