@@ -150,10 +150,19 @@ object Materialize {
         sumNames.map(n =>
           (coalesce(col(n), lit(0L)) + col(s"_d_$n")).as(n)): _*)
 
-    val upserts = merged.filter(col(countCol) > 0L)
-    val deletes = merged.filter(col(countCol) <= 0L).select(groupCol)
-    target.merge(upserts, Seq(groupCol), groupCol, tag,
-      deleteRootKeys = Some(deletes))
+    // upserts and deletes are two filters of the SAME frame, and both
+    // feed one merge write job — without materialization Catalyst
+    // duplicates the whole subtree (CDF feed + aggregate + join) and the
+    // bucket-pruned diff is computed TWICE per fold (measured as ~half of
+    // cdc_mv_rollup's wall). `merged` is O(changed groups) — tiny by
+    // construction — so one persist caps the feed at one evaluation.
+    val mergedC = merged.persist()
+    try {
+      val upserts = mergedC.filter(col(countCol) > 0L)
+      val deletes = mergedC.filter(col(countCol) <= 0L).select(groupCol)
+      target.merge(upserts, Seq(groupCol), groupCol, tag,
+        deleteRootKeys = Some(deletes))
+    } finally mergedC.unpersist()
     ()
   }
 }
