@@ -149,11 +149,15 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       skipCol: Option[String] = None,
       skipCounter: Option[org.apache.spark.util.LongAccumulator] = None): Attr = {
     import spark.implicits._
+    // doc as BINARY (r8): a UTF8String's bytes ARE UTF-8, so the cast is
+    // a copy without decode, and Jackson parses UTF-8 natively — the
+    // String form decoded every doc to UTF-16 first (2× the bytes, pure
+    // bandwidth on the inference job's hot path)
     val rows = skipCol match {
-      case Some(sc) => docs.select(col(docCol).cast("string"),
-        coalesce(col(sc), lit(false))).as[(String, Boolean)]
-      case None => docs.select(col(docCol).cast("string"), lit(false))
-        .as[(String, Boolean)]
+      case Some(sc) => docs.select(col(docCol).cast("binary"),
+        coalesce(col(sc), lit(false))).as[(Array[Byte], Boolean)]
+      case None => docs.select(col(docCol).cast("binary"), lit(false))
+        .as[(Array[Byte], Boolean)]
     }
     val partials = rows.rdd
       .mapPartitions { it =>
@@ -163,7 +167,7 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
         val live = it.flatMap { case (doc, skip) =>
           if (skip) { skipCounter.foreach(_.add(1L)); None } else Some(doc)
         }
-        val t = Infer.analyzeDocumentsStream(entity, live,
+        val t = Infer.analyzeDocumentsBytes(entity, live,
           n => counter.foreach(_.add(n)))
         // skip doc-less partitions so the fold never widens on Unknown
         if (t.attributes(entity).dataType == graft.schema.DType.Unknown)
@@ -279,10 +283,19 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
     // reference's contract (README.md:48) — dropped HERE, explicitly:
     // letting them through would collapse every keyless event into one
     // null-key group (silent data loss into a null-ID row).
+    // PROJECT BEFORE THE EXCHANGE (r8, guide §2.3): everything downstream
+    // of the dedup reads only the doc, the visibility seq, the key (and
+    // op / rev where present) — passthrough columns like the event
+    // timestamp would ride the winner struct through the shuffle, the
+    // agg buffers and the cache for nothing. On the memory-bandwidth-
+    // bound many-core level every shuffled/cached byte costs twice.
+    val keepCols: Seq[String] =
+      (Seq(docCol, "_seq", "_docid") ++
+        (if (incremental) Seq("_docrev") else Nil) ++ opCol.toSeq).distinct
     val latest = keyed
       .filter(col("_docid").isNotNull)
       .groupBy(col("_docid"))
-      .agg(max_by(struct(keyed.columns.map(col): _*), col("_seq")).as("_w"))
+      .agg(max_by(struct(keepCols.map(col): _*), col("_seq")).as("_w"))
       .select(col("_w.*"))
       .persist()
 
@@ -391,13 +404,28 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       // fast path). The parsed struct column is CACHED once — every
       // table's explode chain reads it instead of re-running from_json
       val schema = Flattener.readSchema(registry.attributes(registry.name))
-      val parsed = deduped
+      val parsed0 = deduped
         .select(col("_docid"), col("_seq"),
           from_json(col(docCol), schema).as("_gdoc"))
-        .persist()
+      // The parsed-struct cache exists so K tables' explode chains share
+      // ONE from_json pass — with a single-table catalog there is exactly
+      // one consumer, so the cache (and its materialization barrier) is
+      // pure overhead: let the lone merge compute the parse inline (r8).
+      val multiTable = Catalog.fromTree(registry).size > 1
+      val parsed = if (multiTable) parsed0.persist() else parsed0
+      // materialize the parse cache with ONE clean parallel job before
+      // the per-table merge fan-out (r8): the concurrent merge jobs all
+      // reference the same uncomputed cache, and Spark's per-block lock
+      // makes every late-arriving task BLOCK (holding its slot) while the
+      // first computes the partition — measured as idle-looking executor
+      // time at the 4-executor level. One noop pass fills the cache at
+      // full parallelism; the merges then read warm blocks.
+      if (multiTable &&
+        sys.env.getOrElse("GRAFT_PARSE_PREMAT", "1") != "0")
+        parsed.write.format("noop").mode("overwrite").save()
       val (nTables, nDel) =
         try mergeParsed(registry, parsed, commitTag, allDeletes, monotoneSeq)
-        finally parsed.unpersist()
+        finally { if (multiTable) parsed.unpersist(); () }
 
       ApplyStats(dedupedDocs + nDel, dedupedDocs, nDel, skipped, nTables)
     } finally latest.unpersist()

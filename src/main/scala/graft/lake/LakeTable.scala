@@ -866,10 +866,21 @@ final class LakeTable(val spark: SparkSession, val root: String,
     // deltas are NOT sorted: they live ≤ maxDeltas merges before
     // compaction rewrites them, and the merge-on-read resolution shuffles
     // on the key anyway — only base segments (long-lived, read-heavy)
-    // pay for key-clustered layout
+    // pay for key-clustered layout.
+    // SCALE-ADAPTIVE task count (r8, guide §2.2/§6): hash-partitioning on
+    // the bucket COLUMN keeps every bucket's rows in one task whatever
+    // the partition count, and partitionBy still writes one leaf dir per
+    // bucket — so capping partitions at the session's core count changes
+    // NOTHING about the layout while cutting write-task count (32 tasks
+    // per table per micro-batch on an 8-core level = scheduling overhead
+    // that does not shrink with executors; it was a visible slice of the
+    // 4N level's per-batch fixed cost). A cluster with ≥ nb cores keeps
+    // one task per bucket, exactly as before.
+    val writeParts = math.max(1,
+      math.min(nb, spark.sparkContext.defaultParallelism))
     up.observe(obs, count(when(!col(DelCol), 1)).as("nup"),
         count(when(col(DelCol), 1)).as("ndel"))
-      .repartition(nb, col(BucketCol))
+      .repartition(writeParts, col(BucketCol))
       .write.options(LakeTable.WriteOptions)
       .partitionBy(BucketCol).mode("overwrite")
       .parquet(new HPath(dir, rel).toString)
@@ -1279,7 +1290,12 @@ object LakeTable {
       new HPath(new HPath(lakeRoot), SharedCommitsDir),
       sanitizeTag(commitTag) + "-" +
         java.util.UUID.randomUUID().toString.take(8))
-    val parts = pending.map { case (m, s, _) => m.table.bucketsOf(s) }.max
+    // same scale-adaptive cap as writeDelta: partitioning is on the
+    // (table, bucket) columns, so the leaf-dir layout is independent of
+    // the partition count
+    val parts = math.max(1, math.min(
+      pending.map { case (m, s, _) => m.table.bucketsOf(s) }.max,
+      merges.head.table.spark.sparkContext.defaultParallelism))
     union.observe(obs, aggs.head, aggs.tail: _*)
       .repartition(parts, col(TableCol), col(bucketColName))
       .write.options(WriteOptions)

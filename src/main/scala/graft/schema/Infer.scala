@@ -237,7 +237,24 @@ object Infer {
     * is skipped whole (exactly like the parse-then-analyze path). */
   def analyzeDocumentsStream(entity: String,
       docs: Iterator[String],
-      counter: Long => Unit = _ => ()): Attr = {
+      counter: Long => Unit = _ => ()): Attr =
+    analyzeWith[String](entity, docs, jsonFactory.createParser, counter)
+
+  /** [[analyzeDocumentsStream]] over raw UTF-8 BYTES (r8): Jackson parses
+    * UTF-8 natively, so handing it the bytes skips the UTF8String →
+    * java.lang.String decode (a UTF-16 expansion + copy of every
+    * document) the String form pays per doc — pure bandwidth on the
+    * inference job's hot path, which matters most on the many-core level
+    * where the pipeline is memory-bandwidth-bound. Identical semantics:
+    * same tokens, same tree. */
+  def analyzeDocumentsBytes(entity: String,
+      docs: Iterator[Array[Byte]],
+      counter: Long => Unit = _ => ()): Attr =
+    analyzeWith[Array[Byte]](entity, docs, jsonFactory.createParser, counter)
+
+  private def analyzeWith[T](entity: String, docs: Iterator[T],
+      mkParser: T => com.fasterxml.jackson.core.JsonParser,
+      counter: Long => Unit): Attr = {
     val root = new Attr(entity, DType.Arr)
     val elem = root.child(entity)
     var n = 0L
@@ -246,7 +263,7 @@ object Infer {
       val scratch = new Attr(entity)
       val ok =
         try {
-          val p = jsonFactory.createParser(text)
+          val p = mkParser(text)
           try { p.nextToken(); observeParsed(scratch, p); true }
           finally p.close()
         } catch { case _: Exception => false }
