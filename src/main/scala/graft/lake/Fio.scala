@@ -111,25 +111,33 @@ final class Fio(conf: Configuration) extends Serializable {
     val a = new HPath(probeDir, s".fio-probe-$tag-a")
     val b = new HPath(probeDir, s".fio-probe-$tag-b")
     fs.mkdirs(probeDir)
-    // sweep leftovers from a probe that crashed between put and delete —
-    // vacuum only removes v*.json, so orphans would accumulate forever
-    // (runs once per scheme per JVM; the listing is tiny). ONLY files
-    // older than an hour: a live probe's files exist for milliseconds,
-    // and deleting a CONCURRENT prober's in-flight pair would make its
-    // rename see a missing source → false → 'rename' publish cached on
-    // a replace-semantics store (the lost-commit mode itself)
-    try fs.listStatus(probeDir).iterator
-      .filter(st => st.getPath.getName.startsWith(".fio-probe-") &&
-        st.getModificationTime < System.currentTimeMillis() - 3600000L)
-      .foreach(st => fs.delete(st.getPath, false))
-    catch { case _: java.io.FileNotFoundException => () }
     def put(p: HPath): Unit = {
       val out = fs.create(p, true)
       try out.write('x') finally out.close()
     }
     val replaces =
       try {
-        put(a); put(b)
+        put(a)
+        // sweep leftovers from a probe that crashed between put and delete —
+        // vacuum only removes v*.json, so orphans would accumulate forever
+        // (runs once per scheme per JVM; the listing is tiny). ONLY files
+        // older than an hour BY THE STORE'S OWN CLOCK (ADVICE r7): the age
+        // reference is the mtime of the file we just wrote, not the local
+        // wall clock — on a remote store with clock skew past the
+        // threshold, a local-clock age test could delete a CONCURRENT
+        // prober's in-flight pair, making its rename see a missing source
+        // → false → 'rename' publish cached on a replace-semantics store
+        // (the lost-commit mode itself). Own files excluded by tag.
+        val storeNow =
+          try fs.getFileStatus(a).getModificationTime
+          catch { case _: java.io.IOException => System.currentTimeMillis() }
+        try fs.listStatus(probeDir).iterator
+          .filter(st => st.getPath.getName.startsWith(".fio-probe-") &&
+            !st.getPath.getName.contains(tag) &&
+            st.getModificationTime < storeNow - 3600000L)
+          .foreach(st => fs.delete(st.getPath, false))
+        catch { case _: java.io.FileNotFoundException => () }
+        put(b)
         try fs.rename(a, b) // HDFS contract: false; POSIX/S3A: true
         catch { case _: FileAlreadyExistsException => false }
       } finally {

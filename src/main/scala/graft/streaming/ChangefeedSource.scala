@@ -123,6 +123,22 @@ final class ChangefeedSource(
     else table.unpinSnapshot(lastReported.toInt) // lost to vacuum: see above
   }
 
+  // COMMITTED FLOOR (ADVICE r7, medium): a pre-high-water checkpoint with
+  // maxVersionsPerTrigger (or a torn hw file that parses low) can make
+  // getOffset report an offset BELOW the committed one; the inverted-
+  // window empty batch then COMMITS that lower offset, and the next
+  // window's from-side replays already-delivered versions — with fresh
+  // batch ids, so downstream mv:<batch> tag dedup does not fire. Every
+  // batch's start offset is by construction a previously COMMITTED
+  // position, so it is recorded as a durable floor and every later
+  // window's from-side is clipped up to it: clipping can only skip
+  // versions that were already delivered, never data.
+  private val floorFile = new HPath(metadataPath, "graft-changefeed-floor")
+  @volatile private var committedFloor: Long = math.max(baseVersion,
+    if (!fio.exists(floorFile)) baseVersion
+    else scala.util.Try(fio.readString(floorFile).trim.toLong)
+      .getOrElse(baseVersion))
+
   override val schema: StructType = StructType(
     table.snapshot().schema.fields.map(_.copy(nullable = true)) :+
       org.apache.spark.sql.types.StructField("_change_type", StringType))
@@ -172,21 +188,36 @@ final class ChangefeedSource(
         else return None
       if (v.toLong > lastReported) {
         lastReported = v.toLong
-        fio.writeString(hwFile, lastReported.toString) // durable BEFORE reported
+        // ATOMIC write (ADVICE r7): a plain create-then-write can leave a
+        // partially flushed numeric prefix ('1' of '12') that parses as a
+        // valid-but-low high-water — re-enabling the below-committed
+        // getOffset report this file exists to prevent. tmp+rename makes
+        // torn content impossible; durable BEFORE the offset is reported.
+        fio.writeAtomic(hwFile, lastReported.toString)
       }
       Some(LongOffset(v.toLong))
     }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(ver).getOrElse(baseVersion)
+    val from0 = start.map(ver).getOrElse(baseVersion)
     val to = ver(end)
+    // advance + persist the committed floor BEFORE building the batch: a
+    // crash right after this write keeps the clip; a crash before it at
+    // worst re-observes the same start offset next run
+    if (from0 > committedFloor) synchronized {
+      if (from0 > committedFloor) {
+        committedFloor = from0
+        fio.writeAtomic(floorFile, committedFloor.toString)
+      }
+    }
+    val from = math.max(from0, committedFloor)
     synchronized { lastReported = math.max(lastReported, math.max(from, to)) }
     // cdf=true: Delta-CDF form — updates as update_preimage/postimage
     // pairs (same schema; only the _change_type domain widens)
-    // to <= from: an inverted/stale window (possible only with a
-    // checkpoint written by a pre-high-water build) — emit an empty
-    // batch rather than wedging the checkpoint forever
+    // to <= from: an inverted/stale window (a checkpoint written by a
+    // pre-high-water build, or an offset-log regression clipped by the
+    // floor) — emit an empty batch rather than wedging the checkpoint
     val feed =
       if (to <= from) table.readChangesBetween(to.toInt, to.toInt)
       else if (cdf) table.readChangesBetweenCdf(from.toInt, to.toInt)

@@ -99,11 +99,29 @@ object Materialize {
     maxVersionsPerTrigger.foreach(m =>
       reader.option("maxVersionsPerTrigger", m.toString))
 
+    // PER-STREAM TAG NAMESPACE (ADVICE r7): bare mv:<batchId> tags let a
+    // rollup restarted with a FRESH checkpoint (or a second stream into
+    // the same target) silently skip genuinely new merges as "replays" —
+    // batch ids restart at 0 and collide with already-applied tags. A
+    // uuid persisted IN the checkpoint dir scopes the tags: the same
+    // checkpoint (a normal restart) keeps its id, so replay dedup still
+    // fires; a fresh checkpoint gets a fresh id and its batches apply.
+    val fio = new graft.lake.Fio(spark.sessionState.newHadoopConf())
+    val idFile = new org.apache.hadoop.fs.Path(checkpoint, "graft-mv-id")
+    val streamId =
+      if (fio.exists(idFile)) fio.readString(idFile).trim
+      else {
+        val id = java.util.UUID.randomUUID().toString.take(12)
+        fio.mkdirs(new org.apache.hadoop.fs.Path(checkpoint))
+        fio.writeAtomic(idFile, id)
+        id
+      }
+
     reader.load().writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyDelta(batch, target, groupCol, sums, countCol, s"mv:$id",
-          groupExpr)
+        applyDelta(batch, target, groupCol, sums, countCol,
+          s"mv:$streamId:$id", groupExpr)
         ()
       }.start()
   }
@@ -117,6 +135,23 @@ object Materialize {
       countCol: String, tag: String,
       groupExpr: Option[Column] = None): Unit = {
     val sumNames = sums.keys.toSeq.sorted
+    // integral-contract guard (ADVICE r7): a fractional sum expression
+    // (e.g. col("SZ") * 0.5) silently truncated per row under the
+    // cast(LongType) fold, permanently diverging the maintained rollup
+    // from the documented groupBy/sum recompute — fail loud instead
+    locally {
+      import org.apache.spark.sql.types._
+      feed.select(sumNames.map(n => sums(n).as(n)): _*).schema.fields
+        .foreach { f =>
+          require(f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }, s"Materialize sums: '${f.name}' resolves to " +
+            s"${f.dataType.sql} — sum expressions must be integral " +
+            "(signed retirement is exact only for integers; cast or " +
+            "scale the expression to an integral type explicitly)")
+        }
+    }
     val sgn = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     val delta = feed

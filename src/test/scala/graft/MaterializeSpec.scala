@@ -84,13 +84,17 @@ class MaterializeSpec extends AnyFunSuite {
 
     // exactly-once plumbing: every micro-batch merged under an mv: tag,
     // and a replayed tag is a no-op (the lake's applied-tag dedup)
-    val tagged = mv.snapshot().commits.count(_.startsWith("mv:"))
-    assert(tagged >= 4, s"expected one mv: tag per non-empty batch, got $tagged")
+    val mvTags = mv.snapshot().commits.filter(_.startsWith("mv:"))
+    assert(mvTags.size >= 4,
+      s"expected one mv: tag per non-empty batch, got ${mvTags.size}")
+    // tags are namespaced per stream (mv:<streamId>:<batchId>) so a fresh
+    // checkpoint can never collide with an old target's applied tags —
+    // replay an ACTUALLY-APPLIED tag to exercise the no-op contract
     val before = state(mv)
     Materialize.applyDelta(
       src.readChangesBetweenCdf(1, src.currentVersion()),
-      mv, "LANG", Map("BYTES" -> col("SZ")), "N", "mv:0")
-    assert(state(mv) == before) // tag mv:0 already applied → no-op
+      mv, "LANG", Map("BYTES" -> col("SZ")), "N", mvTags.last)
+    assert(state(mv) == before) // applied tag replayed → no-op
   }
 
   test("cascade: the MV target is itself a changefeed source — a " +
