@@ -411,7 +411,8 @@ final class Engine(val spark: SparkSession, val lakeRoot: String,
       // ONE from_json pass — with a single-table catalog there is exactly
       // one consumer, so the cache (and its materialization barrier) is
       // pure overhead: let the lone merge compute the parse inline (r8).
-      val multiTable = Catalog.fromTree(registry).size > 1
+      val multiTable = Catalog.fromTree(registry).size > 1 &&
+        sys.env.getOrElse("GRAFT_PARSE_CACHE", "1") != "0"
       val parsed = if (multiTable) parsed0.persist() else parsed0
       // materialize the parse cache with ONE clean parallel job before
       // the per-table merge fan-out (r8): the concurrent merge jobs all

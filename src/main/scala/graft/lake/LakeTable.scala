@@ -22,8 +22,15 @@ import graft.schema.{JArr, JNum, JObj, JStr, JValue, Json}
   *             payload in its own struct so per-table schemas never
   *             collide); "" = plain top-level layout
   */
+/** @param maxSeq largest row-visibility seq in the segment (−1 = unknown,
+  *                pre-r8 segment): recorded at write time from the same
+  *                Observation that counts rows, so [[LakeTable.readChangesSince]]
+  *                can prune cold segments FROM THE MANIFEST instead of
+  *                opening every live footer per feed poll — at 10^10 rows
+  *                the difference between O(changed segments) and O(live
+  *                segments) listings (VERDICT r7 #3). */
 final case class Segment(path: String, bucket: Int, schemaVer: Int,
-    kind: String, seq: Long, sub: String = "")
+    kind: String, seq: Long, sub: String = "", maxSeq: Long = -1L)
 
 /** Per-commit lineage record (the rebuild's answer to the reference's
   * TMPDIR db script audit files, sqlDDL.ts:107-116). */
@@ -199,7 +206,8 @@ final class LakeTable(val spark: SparkSession, val root: String,
           seg.get("schemaVer").collect { case JNum(n) => n.toInt }.get,
           seg.get("kind").collect { case JStr(s) => s }.getOrElse("base"),
           seg.get("seq").collect { case JNum(n) => n.toLong }.getOrElse(0L),
-          seg.get("sub").collect { case JStr(s) => s }.getOrElse(""))
+          seg.get("sub").collect { case JStr(s) => s }.getOrElse(""),
+          seg.get("maxSeq").collect { case JNum(n) => n.toLong }.getOrElse(-1L))
       case _ => throw new IllegalStateException("bad segment")
     }
     val commits = arr("commits").collect { case JStr(s) => s }
@@ -238,7 +246,8 @@ final class LakeTable(val spark: SparkSession, val root: String,
         "schemaVer" -> JNum(seg.schemaVer.toString),
         "kind" -> JStr(seg.kind),
         "seq" -> JNum(seg.seq.toString),
-        "sub" -> JStr(seg.sub))): JValue).toVector),
+        "sub" -> JStr(seg.sub),
+        "maxSeq" -> JNum(seg.maxSeq.toString))): JValue).toVector),
       "commits" -> JArr(s.commits.map(JStr(_): JValue).toVector),
       "lineage" -> JArr(s.lineage.map(l => JObj(Vector(
         "tag" -> JStr(l.tag),
@@ -521,7 +530,14 @@ final class LakeTable(val spark: SparkSession, val root: String,
     * changelog retention). */
   def readChangesSince(horizonSeq: Long): DataFrame = {
     val s = snapshot()
-    val raw = readRaw(s, _ => true).filter(col(SeqCol) > horizonSeq)
+    // MANIFEST pruning (r8, VERDICT r7 #3): a segment whose recorded max
+    // visibility seq is ≤ the horizon can contain no post-horizon row —
+    // skip it from the FILE LIST, not just via parquet row-group stats,
+    // so a feed poll on a mostly-cold table lists O(changed segments)
+    // instead of opening every live footer. Unknown maxSeq (−1,
+    // pre-upgrade segment) stays in the scan — conservative, never wrong.
+    val raw = readRaw(s, seg => seg.maxSeq < 0L || seg.maxSeq > horizonSeq)
+      .filter(col(SeqCol) > horizonSeq)
     val live = resolveRows(raw, s.keyCols, s.rootKey)
       .withColumn("_change_type", lit("upsert"))
     // net deletes: newest post-horizon tombstone per root key, minus root
@@ -879,7 +895,8 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val writeParts = math.max(1,
       math.min(nb, spark.sparkContext.defaultParallelism))
     up.observe(obs, count(when(!col(DelCol), 1)).as("nup"),
-        count(when(col(DelCol), 1)).as("ndel"))
+        count(when(col(DelCol), 1)).as("ndel"),
+        max(col(SeqCol)).as("maxseq"))
       .repartition(writeParts, col(BucketCol))
       .write.options(LakeTable.WriteOptions)
       .partitionBy(BucketCol).mode("overwrite")
@@ -891,8 +908,14 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val m = obs.get
     val upserted = m.get("nup").map(_.asInstanceOf[Long]).getOrElse(0L)
     val deleted = m.get("ndel").map(_.asInstanceOf[Long]).getOrElse(0L)
+    // per-commit max visibility seq (manifest changefeed pruning): the
+    // commit-level max is sound for every one of its segments (a
+    // segment's own max can only be ≤ it — pruning stays conservative)
+    val maxSeq = m.get("maxseq").collect { case l: java.lang.Long =>
+      l.longValue() }.getOrElse(-1L)
     val deltaSegs = listBucketDirs(new HPath(dir, rel)).map { case (b, p) =>
-      Segment(fio.relativize(dir, p), b, s.schemaVer, "delta", ver.toLong)
+      Segment(fio.relativize(dir, p), b, s.schemaVer, "delta", ver.toLong,
+        maxSeq = maxSeq)
     }
     (deltaSegs, upserted, deleted)
   }
@@ -971,8 +994,11 @@ final class LakeTable(val spark: SparkSession, val root: String,
         .filter(_.kind == "delta").groupBy(_.bucket)
         .collect { case (b, xs) if xs.size >= maxDeltas - 1 => b }.toSet
       val ver = s.version + 1
-      // visibility seq = the version this attempt will publish as
-      val stamped = deltaSegs.map(_.copy(seq = ver.toLong))
+      // visibility seq = the version this attempt will publish as; in the
+      // commit domain the rows' persisted seqs are superseded by this
+      // re-stamp, so the manifest maxSeq must follow it too
+      val stamped = deltaSegs.map(seg => seg.copy(seq = ver.toLong,
+        maxSeq = if (domain == "commit") ver.toLong else seg.maxSeq))
       val touched: Set[Int] = stamped.map(_.bucket).toSet
       val next =
         if (touched.isEmpty && atCap.isEmpty)
@@ -1031,7 +1057,9 @@ final class LakeTable(val spark: SparkSession, val root: String,
         .withColumn(DelCol, lit(true)), metaTarget)
     val rel = f"data/c$ver%05db-" +
       java.util.UUID.randomUUID().toString.take(6)
+    val obs = org.apache.spark.sql.Observation()
     winners.unionByName(toms)
+      .observe(obs, max(col(SeqCol)).as("maxseq"))
       .withColumn(BucketCol, bucketExpr(col(rootKeyCol), bucketsOf(s)))
       .repartition(math.max(1, math.min(bucketsOf(s), nBuckets)),
         col(BucketCol))
@@ -1039,8 +1067,11 @@ final class LakeTable(val spark: SparkSession, val root: String,
       .write.options(LakeTable.WriteOptions)
       .partitionBy(BucketCol).mode("overwrite")
       .parquet(new HPath(dir, rel).toString)
+    val maxSeq = obs.get.get("maxseq").collect { case l: java.lang.Long =>
+      l.longValue() }.getOrElse(-1L)
     listBucketDirs(new HPath(dir, rel)).map { case (b, p) =>
-      Segment(fio.relativize(dir, p), b, s.schemaVer, "base", ver.toLong)
+      Segment(fio.relativize(dir, p), b, s.schemaVer, "base", ver.toLong,
+        maxSeq = maxSeq)
     }
   }
 
@@ -1280,11 +1311,15 @@ object LakeTable {
     // ONE Observation for the whole commit: per-table upsert/delete counts
     // as conditional aggregates (each table's DelCol is non-null exactly
     // on its own rows)
+    val seqColName = merges.head.table.SeqCol
     val obs = org.apache.spark.sql.Observation()
     val aggs: Seq[Column] = pending.flatMap { case (m, _, _) =>
       val del = col(subOf(m.table))(delColName)
+      // other tables' rows carry a null struct → null seq: max is
+      // per-table by construction (manifest changefeed pruning)
       Seq(count(when(del === false, 1)).as(s"nup_${m.table.name}"),
-        count(when(del === true, 1)).as(s"ndel_${m.table.name}"))
+        count(when(del === true, 1)).as(s"ndel_${m.table.name}"),
+        max(col(subOf(m.table))(seqColName)).as(s"maxseq_${m.table.name}"))
     }
     val outDir = new HPath(
       new HPath(new HPath(lakeRoot), SharedCommitsDir),
@@ -1308,9 +1343,11 @@ object LakeTable {
     val committed = pending.map { case (m, s, _) =>
       val t = m.table
       val tDir = new HPath(outDir, s"$TableCol=${t.name}")
+      val tMaxSeq = metrics.get(s"maxseq_${t.name}")
+        .collect { case l: java.lang.Long => l.longValue() }.getOrElse(-1L)
       val deltaSegs = t.listBucketDirs(tDir).map { case (b, p) =>
         Segment(t.fio.relativize(t.dir, p), b, s.schemaVer,
-          "delta", s.version + 1L, subOf(t))
+          "delta", s.version + 1L, subOf(t), maxSeq = tMaxSeq)
       }
       val up = metrics.get(s"nup_${t.name}")
         .map(_.asInstanceOf[Long]).getOrElse(0L)

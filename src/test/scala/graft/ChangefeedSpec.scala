@@ -81,6 +81,45 @@ class ChangefeedSpec extends AnyFunSuite {
     assert(!t.readChangesSince(101L).collect().exists(_.getString(0) == "c"))
   }
 
+  test("readChangesSince: manifest maxSeq prunes cold segments from the " +
+      "file list (r8 — O(changed segments) per poll, not O(live))") {
+    val t = newTable()
+    // cold batch: every row's lsn ≤ 20
+    t.merge((0 until 16).map(i => (s"k$i", "old", (i + 5).toLong))
+      .toDF("ID", "V", "lsn"), Seq("ID"), "ID", "c1",
+      rowSeqCol = Some("lsn"))
+    // hot batch: lsn 100..103
+    t.merge((0 until 4).map(i => (s"k$i", "new", (100 + i).toLong))
+      .toDF("ID", "V", "lsn"), Seq("ID"), "ID", "c2",
+      rowSeqCol = Some("lsn"))
+    // manifest records the per-commit max seq on every segment
+    val segs = t.snapshot().segments
+    assert(segs.filter(_.path.contains("c00002d")).forall(_.maxSeq == 20L))
+    assert(segs.filter(_.path.contains("c00003d")).forall(_.maxSeq == 103L))
+    // the feed past the cold batch lists ONLY hot-commit files — the
+    // pruning happens at the manifest, before any footer is opened
+    val feed = t.readChangesSince(20L)
+    val files = feed.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("c00003d")),
+      s"cold segments not pruned: ${files.mkString(", ")}")
+    // behavioral proof (readWhere-style): corrupt every cold file — the
+    // pruned feed still reads clean while a full read throws
+    segs.filter(_.path.contains("c00002d")).foreach { seg =>
+      val segDir = java.nio.file.Paths.get(t.root, t.name, seg.path)
+        .normalize()
+      val fs = java.nio.file.Files.list(segDir)
+      try fs.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.write(p, "NOT PARQUET".getBytes("UTF-8"))
+        ()
+      } finally fs.close()
+    }
+    val got = t.readChangesSince(20L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == (0 until 4).map(i => (s"k$i", "new", "upsert")).toSet)
+    intercept[Throwable] { t.read().count() }
+  }
+
   test("readChangesSince: survives compaction (winners keep seq, tombstones carried)") {
     val t = newTable(maxDeltas = 2) // aggressive inline compaction
     t.merge(df("a" -> "1", "b" -> "1"), Seq("ID"), "ID", "c1")
