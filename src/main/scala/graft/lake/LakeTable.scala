@@ -652,12 +652,24 @@ final class LakeTable(val spark: SparkSession, val root: String,
     def pack(df: DataFrame, tag: String): DataFrame =
       df.select((to.keyCols.map(col) :+
         struct(cols.map(col): _*).as(tag)): _*)
-    val pre = pack(align(resolve(from, seg => touched(seg.bucket)),
-      to.schema), "_pre")
     val post = pack(resolve(to, seg => touched(seg.bucket)), "_post")
-    val joined = post.join(pre, to.keyCols.toSeq, "full_outer")
-      .filter(col("_post").isNull || col("_pre").isNull ||
-        !(col("_post") <=> col("_pre")))
+    val joined =
+      if (from.segments.isEmpty)
+        // EMPTY-from fast path (r8): a feed from a pre-data snapshot (the
+        // backfill fold of every materialized view) is all inserts — the
+        // full-outer join against a provably empty side still planned as
+        // a sort-merge join, shuffling and sorting the whole to-state for
+        // nothing (full outer cannot broadcast). A typed null _pre yields
+        // the identical frame with zero exchanges (guide §2.4).
+        post.withColumn("_pre",
+          lit(null).cast(StructType(cols.map(c => to.schema(c)))))
+      else {
+        val pre = pack(align(resolve(from, seg => touched(seg.bucket)),
+          to.schema), "_pre")
+        post.join(pre, to.keyCols.toSeq, "full_outer")
+          .filter(col("_post").isNull || col("_pre").isNull ||
+            !(col("_post") <=> col("_pre")))
+      }
     Some((joined, cols))
   }
 

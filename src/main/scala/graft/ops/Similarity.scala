@@ -163,15 +163,39 @@ object Similarity {
       .repartition(col("sig"))
       .write.partitionBy("sig").mode("overwrite").parquet(path)
 
+  /** List only the partition dirs of `path` whose `<col>=<value>` matches
+    * a probe value (r8): `spark.read.parquet(root)` builds its file index
+    * over EVERY cell directory before partition pruning drops the
+    * non-probes — measured ~2-3 ms of driver listing per directory, which
+    * at 256 LSH cells was most of the probe query's wall. One manifest
+    * listing + selective paths reads the same files; the probe filter is
+    * kept on the (still-present, basePath-derived) partition column so
+    * the plan shape and results are unchanged. Falls back to the full
+    * root when nothing matches (preserves the empty-result plan). */
+  private def probePaths(spark: org.apache.spark.sql.SparkSession,
+      path: String, colName: String, probes: Set[String]): Seq[String] = {
+    val fio = new graft.lake.Fio(spark.sessionState.newHadoopConf())
+    fio.list(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$colName=") &&
+        probes.contains(st.getPath.getName.stripPrefix(s"$colName=")))
+      .map(_.getPath.toString)
+  }
+
   /** ANN top-k over an [[indexVectors]] layout: the probe-set filter is on
-    * the PARTITION column, so Spark's scan lists only probe directories —
-    * `PartitionFilters` in the plan, zero bytes read outside the probes
-    * (PlanSpec asserts this). Multi-probe: exact cell + Hamming-1. */
+    * the PARTITION column, so the scan reads zero bytes outside the probe
+    * cells (`PartitionFilters` in the plan — PlanSpec asserts this), and
+    * the file index is built over the probe directories only
+    * ([[probePaths]]). Multi-probe: exact cell + Hamming-1. */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       query: Array[Float], k: Int, bits: Int = 10, seed: Long = 42L,
       probeRadius: Int = 1): DataFrame = {
     val probes = probeSet(hyperplaneSig(query, bits, seed), bits, probeRadius)
-    spark.read.parquet(path)
+    val dirs = probePaths(spark, path, "sig", probes.map(_.toString).toSet)
+    val base =
+      if (dirs.isEmpty) spark.read.parquet(path)
+      else spark.read.option("basePath", path).parquet(dirs: _*)
+    base
       .filter(col("sig").isin(probes: _*)) // partition pruning (IO prune)
       .select(col("id"), round(cosineToQuery(col("v"), query), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
@@ -368,7 +392,11 @@ object Similarity {
   def topKIvf(spark: org.apache.spark.sql.SparkSession, path: String,
       query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
     val probes = ivfProbeCells(path, query, nprobe)
-    spark.read.parquet(path)
+    val dirs = probePaths(spark, path, "cell", probes.map(_.toString).toSet)
+    val base =
+      if (dirs.isEmpty) spark.read.parquet(path)
+      else spark.read.option("basePath", path).parquet(dirs: _*)
+    base
       .filter(col("cell").isin(probes: _*)) // partition pruning (IO prune)
       .select(col("id"), round(cosineToQuery(col("v"), query), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
