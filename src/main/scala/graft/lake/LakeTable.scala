@@ -906,10 +906,18 @@ final class LakeTable(val spark: SparkSession, val root: String,
     // one task per bucket, exactly as before.
     val writeParts = math.max(1,
       math.min(nb, spark.sparkContext.defaultParallelism))
-    up.observe(obs, count(when(!col(DelCol), 1)).as("nup"),
-        count(when(col(DelCol), 1)).as("ndel"),
-        max(col(SeqCol)).as("maxseq"))
-      .repartition(writeParts, col(BucketCol))
+    val observed = up.observe(obs, count(when(!col(DelCol), 1)).as("nup"),
+      count(when(col(DelCol), 1)).as("ndel"),
+      max(col(SeqCol)).as("maxseq"))
+    // Under AQE, an UNNUMBERED repartition is coalescible: a small batch's
+    // write collapses to a handful of tasks sized by the advisory
+    // partition bytes instead of numBuckets fixed tasks (guide §2.2) —
+    // the bucket-dir layout is unchanged either way. Sessions without AQE
+    // (the bench's cluster levels) keep the deterministic core-count cap.
+    val aqeOn = spark.conf
+      .get("spark.sql.adaptive.enabled", "true").toBoolean
+    (if (aqeOn) observed.repartition(col(BucketCol))
+     else observed.repartition(writeParts, col(BucketCol)))
       .write.options(LakeTable.WriteOptions)
       .partitionBy(BucketCol).mode("overwrite")
       .parquet(new HPath(dir, rel).toString)
