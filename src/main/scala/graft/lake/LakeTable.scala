@@ -909,13 +909,17 @@ final class LakeTable(val spark: SparkSession, val root: String,
     val observed = up.observe(obs, count(when(!col(DelCol), 1)).as("nup"),
       count(when(col(DelCol), 1)).as("ndel"),
       max(col(SeqCol)).as("maxseq"))
-    // Under AQE, an UNNUMBERED repartition is coalescible: a small batch's
-    // write collapses to a handful of tasks sized by the advisory
-    // partition bytes instead of numBuckets fixed tasks (guide §2.2) —
-    // the bucket-dir layout is unchanged either way. Sessions without AQE
-    // (the bench's cluster levels) keep the deterministic core-count cap.
+    // GRAFT_WRITE_COALESCE=1 (opt-in): leave the repartition UNNUMBERED so
+    // AQE sizes the write tasks by the advisory partition bytes — for
+    // object stores where file-count/size hygiene outranks latency. OFF
+    // by default: A/B-measured (alternating sessions, min-of-3) the AQE
+    // replan on every merge's exchange costs ~0.2-0.3 s per 7-table apply
+    // at local[32] (engine_replay 1.16-1.48 s capped vs 1.44-1.76 s
+    // coalesced) — the deterministic core-count cap already bounds task
+    // count, and the bucket-dir layout is identical either way.
     val aqeOn = spark.conf
-      .get("spark.sql.adaptive.enabled", "true").toBoolean
+      .get("spark.sql.adaptive.enabled", "true").toBoolean &&
+      sys.env.getOrElse("GRAFT_WRITE_COALESCE", "0") == "1"
     (if (aqeOn) observed.repartition(col(BucketCol))
      else observed.repartition(writeParts, col(BucketCol)))
       .write.options(LakeTable.WriteOptions)
